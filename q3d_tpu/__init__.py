@@ -1,0 +1,22 @@
+"""q3d_tpu — TPU-native quantized 3D object detection framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capability surface of
+BiboyQG/Quantization-on-3D-Object-Detection (an OpenPCDet 0.6 fork with a
+hybrid dynamic/static PTQ layer, "Q-LiDAR").  See /root/repo/SURVEY.md for the
+component inventory this package implements.
+
+Layer map (mirrors SURVEY.md §1, re-architected TPU-first):
+
+  q3d_tpu.config     — YAML config system with _BASE_CONFIG_ inheritance
+  q3d_tpu.utils      — box geometry / coders / losses / logging (pure JAX + numpy)
+  q3d_tpu.ops        — TPU kernels: rotated IoU/NMS, sparse-conv engine,
+                       voxelizer, pillar scatter, bev_pool, pointnet2
+  q3d_tpu.datasets   — dataset templates, processors, augmentors, KITTI/nuScenes
+  q3d_tpu.models     — detectors (flax.linen) + registry-of-registries
+  q3d_tpu.quant      — PTQ layer: TensorQuantizer, calibrators, SmoothQuant,
+                       module-path quantization rules
+  q3d_tpu.parallel   — device mesh / sharding / distributed eval-merge
+  q3d_tpu.runtime    — native (C++) host runtime: voxelizer, point IO
+"""
+
+__version__ = "0.1.0"
