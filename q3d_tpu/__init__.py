@@ -20,3 +20,20 @@ Layer map (mirrors SURVEY.md §1, re-architected TPU-first):
 """
 
 __version__ = "0.1.0"
+
+# flax converts dict-valued module fields (our EDict configs) to FrozenDict;
+# give FrozenDict the same attribute-style access so cfg.MODEL.VFE works
+# inside modules.  UPPERCASE config keys cannot collide with its methods.
+from flax.core import FrozenDict as _FrozenDict  # noqa: E402
+
+if not hasattr(_FrozenDict, "__getattr_patched__"):
+    def _fd_getattr(self, name):
+        if name.startswith("__"):
+            raise AttributeError(name)
+        try:
+            return self[name]
+        except KeyError:
+            raise AttributeError(name) from None
+
+    _FrozenDict.__getattr__ = _fd_getattr
+    _FrozenDict.__getattr_patched__ = True

@@ -1,0 +1,39 @@
+"""Point feature column selection/encoding.
+
+Parity with reference ``pcdet/datasets/processor/point_feature_encoder.py``
+(57 LoC): selects ``used_feature_list`` columns out of ``src_feature_list``
+(absolute_coordinates encoding), e.g. nuScenes ['x','y','z','intensity',
+'timestamp'].
+"""
+
+import numpy as np
+
+
+class PointFeatureEncoder:
+    def __init__(self, config, point_cloud_range=None):
+        self.point_encoding_config = config
+        assert list(config.src_feature_list[0:3]) == ["x", "y", "z"]
+        self.used_feature_list = list(config.used_feature_list)
+        self.src_feature_list = list(config.src_feature_list)
+        self.point_cloud_range = point_cloud_range
+
+    @property
+    def num_point_features(self):
+        return getattr(self, self.point_encoding_config.encoding_type)(points=None)
+
+    def forward(self, data_dict):
+        data_dict["points"], use_lead_xyz = getattr(
+            self, self.point_encoding_config.encoding_type)(data_dict["points"])
+        data_dict["use_lead_xyz"] = use_lead_xyz
+        return data_dict
+
+    def absolute_coordinates_encoding(self, points=None):
+        if points is None:
+            return len(self.used_feature_list)
+        cols = [points[:, 0:3]]
+        for f in self.used_feature_list:
+            if f in ("x", "y", "z"):
+                continue
+            idx = self.src_feature_list.index(f)
+            cols.append(points[:, idx:idx + 1])
+        return np.concatenate(cols, axis=1), True

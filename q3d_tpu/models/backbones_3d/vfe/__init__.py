@@ -1,0 +1,3 @@
+from .mean_vfe import MeanVFE  # noqa: F401
+from .pillar_vfe import PillarVFE  # noqa: F401
+from .dynamic_mean_vfe import DynamicMeanVFE  # noqa: F401

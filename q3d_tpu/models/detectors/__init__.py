@@ -1,0 +1,11 @@
+from .detector3d_template import Detector3DTemplate, DatasetInfo  # noqa: F401
+from .pointpillar import PointPillar  # noqa: F401
+
+__all__ = {
+    "Detector3DTemplate": Detector3DTemplate,
+    "PointPillar": PointPillar,
+}
+
+
+def register(name, cls):
+    __all__[name] = cls

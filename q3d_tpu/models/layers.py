@@ -1,0 +1,330 @@
+"""Quantization-aware NN building blocks (flax.linen, NHWC, TPU layouts).
+
+These replace the reference's use of raw ``torch.nn.Conv2d/Linear/BatchNorm2d``
+*and* the quantization fork's wrapper classes in one mechanism: every layer
+consults the active ``QuantRules`` (``q3d_tpu.quant.rules``) with its dotted
+module path, and — when a rule matches — inserts weight/activation
+``TensorQuantizer``s or the SmoothQuant im2col path.  This subsumes the
+reference's ``quant/quantize.py`` module-swap surgery, ``quant/smoothquant.py``
+SQConv2d/SQConv1d/SQLinear (unfold -> per-column alpha scale migration ->
+fake-quant -> GEMM), and ``quant_nn.QuantConv2d``.
+
+Layout conventions: activations NHWC (BEV maps (B, H, W, C)), conv kernels
+HWIO, linear kernels (in, out) — the layouts XLA tiles best onto the MXU.
+The checkpoint importer transposes torch OIHW/OI weights on load.
+"""
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..quant.rules import get_active_rules
+from ..quant.tensor_quant import TensorQuantizer, QuantSpec, _reduce_amax
+
+Dtype = Any
+
+
+def _pair(v):
+    return tuple(v) if isinstance(v, (tuple, list)) else (v, v)
+
+
+def _dotted_path(module: nn.Module) -> str:
+    return ".".join(str(p) for p in module.path)
+
+
+def _lookup_rule(module: nn.Module, kind: str):
+    rules = get_active_rules()
+    if rules is None:
+        return None
+    return rules.lookup(_dotted_path(module), kind)
+
+
+class Conv2d(nn.Module):
+    """2D conv, torch-compatible hyperparams (stride/padding ints), NHWC.
+
+    kind='conv2d' for quant-rule matching. When a SmoothQuant rule is active
+    the conv runs as im2col GEMM with per-column dynamic scale migration —
+    on TPU this is the *same* MXU work a direct conv lowers to, so the
+    reference's unfold/matmul/fold trick costs nothing extra here.
+    """
+    features: int
+    kernel_size: Union[int, Tuple[int, int]]
+    stride: Union[int, Tuple[int, int]] = 1
+    padding: Union[int, Tuple[int, int]] = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    bias_init: float = 0.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = _pair(self.kernel_size)
+        sh, sw = _pair(self.stride)
+        ph, pw = _pair(self.padding)
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1/3, "fan_in", "uniform"),
+            (kh, kw, cin // self.groups, self.features))
+        bias = (self.param("bias", nn.initializers.constant(self.bias_init),
+                           (self.features,))
+                if self.use_bias else None)
+
+        rule = _lookup_rule(self, "conv2d")
+        dn = ("NHWC", "HWIO", "NHWC")
+        if rule is None:
+            y = jax.lax.conv_general_dilated(
+                x, kernel.astype(x.dtype), (sh, sw), [(ph, ph), (pw, pw)],
+                rhs_dilation=(self.dilation, self.dilation),
+                dimension_numbers=dn, feature_group_count=self.groups,
+                preferred_element_type=jnp.float32)
+        elif rule.smoothquant is not None:
+            assert self.groups == 1, "SmoothQuant conv does not support groups"
+            y = self._smoothquant_conv(x, kernel, rule, (sh, sw), (ph, pw))
+        else:
+            k = kernel
+            if rule.weight is not None:
+                wspec = dataclasses.replace(
+                    rule.weight, axis=3 if rule.weight.axis is not None else None)
+                k = TensorQuantizer(wspec, name="weight_quant")(k)
+            if rule.act is not None:
+                x = TensorQuantizer(rule.act, name="act_quant")(x)
+            y = jax.lax.conv_general_dilated(
+                x, k.astype(x.dtype), (sh, sw), [(ph, ph), (pw, pw)],
+                rhs_dilation=(self.dilation, self.dilation),
+                dimension_numbers=dn, feature_group_count=self.groups,
+                preferred_element_type=jnp.float32)
+        if bias is not None:
+            y = y + bias
+        return y.astype(self.dtype or x.dtype)
+
+    def _smoothquant_conv(self, x, kernel, rule, strides, pads):
+        """im2col + alpha-scale migration (reference smoothquant.py:38-99)."""
+        kh, kw, cin, cout = kernel.shape
+        patches = jax.lax.conv_general_dilated_patches(
+            x, (kh, kw), strides, [(pads[0], pads[0]), (pads[1], pads[1])],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        # patches feature dim ordered (cin, kh, kw) channel-major — matches
+        # torch F.unfold column order used by the reference.
+        w2d = kernel.transpose(2, 0, 1, 3).reshape(cin * kh * kw, cout)
+
+        sq = rule.smoothquant
+        w_amax_col = jnp.maximum(jnp.max(jnp.abs(w2d), axis=1), 1e-5)
+        if sq.dynamic:
+            ndim = patches.ndim
+            act_amax_col = jax.lax.stop_gradient(
+                jnp.maximum(jnp.max(jnp.abs(patches),
+                                    axis=tuple(range(ndim - 1))), 1e-5))
+        else:
+            amax_var = self.variable(
+                "quant", "sq_act_amax",
+                lambda: jnp.ones(cin * kh * kw, jnp.float32))
+            if self.is_mutable_collection("calib"):
+                cmax = self.variable(
+                    "calib", "sq_act_absmax",
+                    lambda: jnp.zeros(cin * kh * kw, jnp.float32))
+                ndim = patches.ndim
+                cmax.value = jnp.maximum(
+                    cmax.value,
+                    jnp.max(jnp.abs(patches), axis=tuple(range(ndim - 1))))
+            act_amax_col = jnp.maximum(amax_var.value, 1e-5)
+        scale = jnp.power(act_amax_col, sq.alpha) / jnp.power(w_amax_col, 1.0 - sq.alpha)
+        scale = jax.lax.stop_gradient(jnp.maximum(scale, 1e-5))
+
+        p = patches / scale
+        w = w2d * scale[:, None]
+        if rule.act is not None:
+            p = TensorQuantizer(rule.act, name="act_quant")(p)
+        if rule.weight is not None:
+            # per-output-channel on the GEMM weight (axis=1 of (K, cout))
+            wspec = dataclasses.replace(
+                rule.weight, axis=1 if rule.weight.axis is not None else None)
+            w = TensorQuantizer(wspec, name="weight_quant")(w)
+        return jnp.einsum("bhwk,ko->bhwo", p, w.astype(p.dtype),
+                          preferred_element_type=jnp.float32)
+
+
+class ConvTranspose2d(nn.Module):
+    """Transposed conv matching torch ConvTranspose2d(k, s, p) geometry."""
+    features: int
+    kernel_size: Union[int, Tuple[int, int]]
+    stride: Union[int, Tuple[int, int]] = 1
+    padding: Union[int, Tuple[int, int]] = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = _pair(self.kernel_size)
+        sh, sw = _pair(self.stride)
+        ph, pw = _pair(self.padding)
+        cin = x.shape[-1]
+        # stored IOHW-equivalent in HWIO-for-transpose form: (kh, kw, cout, cin)
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1/3, "fan_in", "uniform"),
+            (kh, kw, self.features, cin))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+
+        rule = _lookup_rule(self, "conv_transpose2d")
+        k = kernel
+        if rule is not None:
+            if rule.weight is not None:
+                wspec = dataclasses.replace(
+                    rule.weight, axis=2 if rule.weight.axis is not None else None)
+                k = TensorQuantizer(wspec, name="weight_quant")(k)
+            if rule.act is not None:
+                x = TensorQuantizer(rule.act, name="act_quant")(x)
+        # torch ConvTranspose2d == conv with input dilation s, pad k-1-p,
+        # spatially-flipped kernel, in/out channels swapped.
+        k_flip = jnp.flip(k, axis=(0, 1)).transpose(0, 1, 3, 2)  # (kh,kw,cin,cout)
+        y = jax.lax.conv_general_dilated(
+            x, k_flip.astype(x.dtype), (1, 1),
+            [(kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)],
+            lhs_dilation=(sh, sw),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        if bias is not None:
+            y = y + bias
+        return y.astype(x.dtype)
+
+
+class Conv1d(nn.Module):
+    """1D conv over (B, L, C); kind='conv1d' (TransFusion SeparateHead)."""
+    features: int
+    kernel_size: int = 1
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1/3, "fan_in", "uniform"),
+            (self.kernel_size, cin, self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        rule = _lookup_rule(self, "conv1d")
+        k = kernel
+        if rule is not None:
+            if rule.weight is not None:
+                wspec = dataclasses.replace(
+                    rule.weight, axis=2 if rule.weight.axis is not None else None)
+                k = TensorQuantizer(wspec, name="weight_quant")(k)
+            if rule.act is not None:
+                x = TensorQuantizer(rule.act, name="act_quant")(x)
+        y = jax.lax.conv_general_dilated(
+            x, k.astype(x.dtype), (self.stride,), [(self.padding, self.padding)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32)
+        if bias is not None:
+            y = y + bias
+        return y.astype(x.dtype)
+
+
+class Linear(nn.Module):
+    """Dense layer; kind='linear' (TransFusion decoder SQLinear target)."""
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1/3, "fan_in", "uniform"),
+            (cin, self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        rule = _lookup_rule(self, "linear")
+        k = kernel
+        if rule is not None and rule.smoothquant is not None:
+            sq = rule.smoothquant
+            w_amax = jnp.maximum(jnp.max(jnp.abs(k), axis=1), 1e-5)
+            if sq.dynamic:
+                a_amax = jax.lax.stop_gradient(jnp.maximum(
+                    jnp.max(jnp.abs(x), axis=tuple(range(x.ndim - 1))), 1e-5))
+            else:
+                amax_var = self.variable("quant", "sq_act_amax",
+                                         lambda: jnp.ones(cin, jnp.float32))
+                if self.is_mutable_collection("calib"):
+                    cmax = self.variable("calib", "sq_act_absmax",
+                                         lambda: jnp.zeros(cin, jnp.float32))
+                    cmax.value = jnp.maximum(
+                        cmax.value,
+                        jnp.max(jnp.abs(x), axis=tuple(range(x.ndim - 1))))
+                a_amax = jnp.maximum(amax_var.value, 1e-5)
+            scale = jax.lax.stop_gradient(
+                jnp.maximum(jnp.power(a_amax, sq.alpha)
+                            / jnp.power(w_amax, 1 - sq.alpha), 1e-5))
+            x = x / scale
+            k = k * scale[:, None]
+            if rule.act is not None:
+                x = TensorQuantizer(rule.act, name="act_quant")(x)
+            if rule.weight is not None:
+                wspec = dataclasses.replace(
+                    rule.weight, axis=1 if rule.weight.axis is not None else None)
+                k = TensorQuantizer(wspec, name="weight_quant")(k)
+        elif rule is not None:
+            if rule.weight is not None:
+                wspec = dataclasses.replace(
+                    rule.weight, axis=1 if rule.weight.axis is not None else None)
+                k = TensorQuantizer(wspec, name="weight_quant")(k)
+            if rule.act is not None:
+                x = TensorQuantizer(rule.act, name="act_quant")(x)
+        y = x @ k.astype(x.dtype)
+        if bias is not None:
+            y = y + bias
+        return y
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm matching torch BatchNorm semantics (pcdet default
+    eps=1e-3, momentum=0.01). ``train`` selects batch-stats mode; SyncBN
+    across a data-parallel mesh is the ``axis_name`` argument (XLA pmean)
+    — the TPU equivalent of reference tools/train.py:131 SyncBatchNorm."""
+    epsilon: float = 1e-3
+    momentum: float = 0.01
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=1.0 - self.momentum,
+            epsilon=self.epsilon,
+            axis_name=self.axis_name,
+            name="bn")
+        return bn(x)
+
+
+class BatchNorm1d(BatchNorm):
+    pass
+
+
+def relu(x):
+    return jax.nn.relu(x)
+
+
+class ConvBNReLU(nn.Module):
+    """conv -> BN -> ReLU block (the BEV backbone's unit)."""
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    eps: float = 1e-3
+    momentum: float = 0.01
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv2d(self.features, self.kernel_size, self.stride, self.padding,
+                   use_bias=False, name="conv")(x)
+        x = BatchNorm(self.eps, self.momentum, name="norm")(x, train)
+        return relu(x)

@@ -1,0 +1,55 @@
+"""NMS dispatch (reference ``model_utils/model_nms_utils.py``), static-shape.
+
+``class_agnostic_nms:6`` / ``multi_classes_nms:28`` with cfg-string dispatch to
+the rotated or axis-aligned kernel.  Everything returns fixed-size
+(indices, valid) pairs so detector post-processing stays inside one jit.
+"""
+
+import jax.numpy as jnp
+
+from ...ops.iou3d_nms import nms_bev, nms_normal_bev
+
+_NMS_FNS = {
+    "nms_gpu": nms_bev,
+    "nms_bev": nms_bev,
+    "nms_normal_gpu": nms_normal_bev,
+    "nms_normal_bev": nms_normal_bev,
+}
+
+
+def class_agnostic_nms(box_scores, box_preds, nms_config, score_thresh=None,
+                       box_valid=None):
+    """box_scores: (N,); box_preds: (N, 7). Returns (idx, valid) fixed-size."""
+    valid = jnp.ones(box_scores.shape, bool) if box_valid is None else box_valid
+    if score_thresh is not None:
+        valid = valid & (box_scores >= score_thresh)
+    nms_fn = _NMS_FNS[nms_config.NMS_TYPE]
+    return nms_fn(box_preds, box_scores, thresh=float(nms_config.NMS_THRESH),
+                  pre_maxsize=int(nms_config.NMS_PRE_MAXSIZE),
+                  post_maxsize=int(nms_config.NMS_POST_MAXSIZE),
+                  score_valid=valid)
+
+
+def multi_classes_nms(cls_scores, box_preds, nms_config, score_thresh=None,
+                      box_valid=None):
+    """Per-class NMS (reference multi_classes_nms:28).
+
+    cls_scores: (N, num_class); returns per-class fixed-size results stacked:
+    (idx (C, post), valid (C, post), scores (C, post)).
+    """
+    num_class = cls_scores.shape[1]
+    idxs, valids, scores = [], [], []
+    for k in range(num_class):
+        s = cls_scores[:, k]
+        v = jnp.ones(s.shape, bool) if box_valid is None else box_valid
+        if score_thresh is not None:
+            v = v & (s >= score_thresh)
+        nms_fn = _NMS_FNS[nms_config.NMS_TYPE]
+        idx, val = nms_fn(box_preds, s, thresh=float(nms_config.NMS_THRESH),
+                          pre_maxsize=int(nms_config.NMS_PRE_MAXSIZE),
+                          post_maxsize=int(nms_config.NMS_POST_MAXSIZE),
+                          score_valid=v)
+        idxs.append(idx)
+        valids.append(val)
+        scores.append(s[idx])
+    return jnp.stack(idxs), jnp.stack(valids), jnp.stack(scores)

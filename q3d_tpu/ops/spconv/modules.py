@@ -1,0 +1,215 @@
+"""Sparse conv layers (flax) with the reference fork's quantization hooks.
+
+Layer kinds for quant-rule matching mirror the reference's swap targets
+(``quant/quantize.py:13-43`` swaps spconv SubMConv3d/SparseConv3d for QConvNd;
+``quant/quant_voxelnext.py`` adds the 2D sparse variants):
+
+  subm_conv3d / sparse_conv3d / subm_conv2d / sparse_conv2d / inverse_conv3d
+
+QConvNd parity (``quant/quant.py:6-58``): weight fake-quant per OUTPUT channel
+over the (Cout, Cin*K) matrix view; activation fake-quant on the sparse
+features per-tensor, or per INPUT channel when the rule's act spec has
+``axis=1`` (the 'cw' flag path).  Because our engine's GEMM view is already
+(K*Cin, Cout), the quantizers act on exactly the matrix the MXU consumes —
+no permute/restore dance like the reference's per-forward weight mutation.
+
+Weight storage layout: (K, Cin, Cout) where K enumerates kernel offsets
+k0-major — a pure reshape away from both the GEMM view and spconv's native
+(Cout, k0.., Cin) checkpoint layout (importer transposes once at load).
+"""
+
+import dataclasses
+from typing import Any, Optional, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...quant.rules import get_active_rules
+from ...quant.tensor_quant import TensorQuantizer
+from .sparse_tensor import SparseConvTensor
+from . import engine
+
+
+def _dotted_path(module):
+    return ".".join(str(p) for p in module.path)
+
+
+def _np_prod(v):
+    out = 1
+    for x in v:
+        out *= int(x)
+    return out
+
+
+class _SparseConvBase(nn.Module):
+    out_channels: int
+    kernel_size: Union[int, Tuple[int, ...]] = 3
+    stride: Union[int, Tuple[int, ...]] = 1
+    padding: Union[int, Tuple[int, ...]] = 0
+    dilation: int = 1
+    use_bias: bool = False
+    indice_key: Optional[str] = None
+
+    ND: int = 3
+    KIND: str = "subm_conv3d"
+    SUBM: bool = True
+
+    def _weight(self, cin):
+        ks = self.kernel_size if isinstance(self.kernel_size, (tuple, list)) \
+            else (self.kernel_size,) * self.ND
+        K = _np_prod(ks)
+        fan_in = K * cin
+        w = self.param("weight",
+                       nn.initializers.variance_scaling(1/3, "fan_in", "uniform"),
+                       (K, cin, self.out_channels))
+        b = self.param("bias", nn.initializers.zeros, (self.out_channels,)) \
+            if self.use_bias else None
+        return w, b
+
+    def _quantize(self, features, weight, valid):
+        rules = get_active_rules()
+        rule = rules.lookup(_dotted_path(self), self.KIND) if rules else None
+        if rule is None:
+            return features, weight
+        feats = features * valid[:, None]          # keep padding out of amax
+        if rule.act is not None:
+            feats = TensorQuantizer(rule.act, name="act_quant")(feats)
+        w = weight
+        if rule.weight is not None:
+            wspec = dataclasses.replace(
+                rule.weight, axis=2 if rule.weight.axis is not None else None)
+            w = TensorQuantizer(wspec, name="weight_quant")(w)
+        return feats, w
+
+
+class _SubMConv(_SparseConvBase):
+    @nn.compact
+    def __call__(self, st: SparseConvTensor, rulebook_cache=None):
+        w, b = self._weight(st.num_channels)
+        cache_key = ("subm", self.indice_key or "", tuple(st.spatial_shape),
+                     self.kernel_size, self.dilation)
+        gather_idx = None
+        if rulebook_cache is not None:
+            gather_idx = rulebook_cache.get(cache_key)
+        if gather_idx is None:
+            st = st.with_hash()
+            gather_idx = engine.subm_gather_indices(
+                st, self.kernel_size, self.dilation)
+            if rulebook_cache is not None:
+                rulebook_cache[cache_key] = gather_idx
+        feats, w = self._quantize(st.features, w, st.valid)
+        out = engine.gather_conv(feats, gather_idx, w)
+        if b is not None:
+            out = out + b
+        return st.replace(features=out)
+
+
+class _SparseConv(_SparseConvBase):
+    SUBM = False
+
+    @nn.compact
+    def __call__(self, st: SparseConvTensor, rulebook_cache=None):
+        w, b = self._weight(st.num_channels)
+        cache_key = ("down", tuple(st.spatial_shape), self.kernel_size,
+                     self.stride, self.padding)
+        cached = rulebook_cache.get(cache_key) if rulebook_cache is not None else None
+        if cached is None:
+            out_indices, gather_idx, out_spatial = engine.sparse_conv_downsample(
+                st, self.kernel_size, self.stride, self.padding)
+            if rulebook_cache is not None:
+                rulebook_cache[cache_key] = (out_indices, gather_idx, out_spatial)
+                # save source coords so a matching inverse conv can restore them
+                rulebook_cache[("coords_before", cache_key)] = st.indices
+        else:
+            out_indices, gather_idx, out_spatial = cached
+        feats, w = self._quantize(st.features, w, st.valid)
+        out = engine.gather_conv(feats, gather_idx, w,
+                                 out_valid=out_indices[:, 0] >= 0)
+        if b is not None:
+            out = out + b * (out_indices[:, 0] >= 0)[:, None]
+        return SparseConvTensor(features=out, indices=out_indices,
+                                spatial_shape=out_spatial,
+                                batch_size=st.batch_size)
+
+
+class SubMConv3d(_SubMConv):
+    ND: int = 3
+    KIND: str = "subm_conv3d"
+
+
+class SparseConv3d(_SparseConv):
+    ND: int = 3
+    KIND: str = "sparse_conv3d"
+
+
+class SubMConv2d(_SubMConv):
+    ND: int = 2
+    KIND: str = "subm_conv2d"
+
+
+class SparseConv2d(_SparseConv):
+    ND: int = 2
+    KIND: str = "sparse_conv2d"
+
+
+class SparseInverseConv3d(_SparseConvBase):
+    """Upsampling conv restoring a previously-seen coordinate set
+    (spconv SparseInverseConv3d; reference UNetV2 decoder)."""
+    ND: int = 3
+    KIND: str = "inverse_conv3d"
+    SUBM = False
+    target_indices_key: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, st: SparseConvTensor, target_indices,
+                 target_spatial, rulebook_cache=None):
+        w, b = self._weight(st.num_channels)
+        gather_idx = engine.inverse_conv_indices(
+            st, target_indices, target_spatial, self.kernel_size,
+            self.stride, self.padding)
+        feats, w = self._quantize(st.features, w, st.valid)
+        out = engine.gather_conv(feats, gather_idx, w,
+                                 out_valid=target_indices[:, 0] >= 0)
+        if b is not None:
+            out = out + b * (target_indices[:, 0] >= 0)[:, None]
+        return SparseConvTensor(features=out, indices=target_indices,
+                                spatial_shape=tuple(int(s) for s in target_spatial),
+                                batch_size=st.batch_size)
+
+
+class SparseBatchNorm(nn.Module):
+    """BatchNorm1d over sparse features with padding-aware statistics.
+
+    Eval mode matches torch BatchNorm1d numerics on the valid rows; train mode
+    computes masked batch stats (the reference's BN sees only real voxels
+    because spconv tensors are unpadded — masking restores that semantics).
+    """
+    epsilon: float = 1e-3
+    momentum: float = 0.01
+
+    @nn.compact
+    def __call__(self, st: SparseConvTensor, train: bool = False):
+        x = st.features
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(c, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(c, jnp.float32))
+        if train:
+            valid = st.valid
+            n = jnp.maximum(valid.sum(), 1).astype(x.dtype)
+            vm = valid[:, None].astype(x.dtype)
+            mean = (x * vm).sum(0) / n
+            var = (((x - mean) ** 2) * vm).sum(0) / n
+            if self.is_mutable_collection("batch_stats"):
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * var * n / jnp.maximum(n - 1, 1)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return st.replace(features=y)

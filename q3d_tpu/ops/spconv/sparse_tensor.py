@@ -1,0 +1,89 @@
+"""SparseConvTensor — fixed-capacity sparse voxel tensor for XLA.
+
+TPU-native replacement for the external ``spconv.SparseConvTensor``
+(reference usage: ``pcdet/models/backbones_3d/spconv_backbone.py:258-263``,
+``pcdet/utils/spconv_utils.py``).  Instead of spconv's dynamic voxel counts
+and CUDA hash tables, a tensor is a STATIC-capacity (N, C) feature matrix +
+(N, 1+ndim) integer coordinates with -1-padded free slots, plus a cached
+sorted-key table that plays the role of spconv's GPU hash map: coordinate
+lookup = binary search (``jnp.searchsorted``) in the sorted linearized keys.
+Everything jits; the compiled program is shape-identical across frames.
+"""
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import struct
+
+# sentinel for padding keys; real keys are < batch * prod(spatial) < 2^30
+BIG_KEY = jnp.int32(2 ** 30)
+
+
+def linearize(indices, spatial_shape, batch_size):
+    """(N, 1+nd) int [b, z, y, x] -> (N,) int32 key; padding rows -> BIG_KEY."""
+    nd = len(spatial_shape)
+    key = indices[:, 0].astype(jnp.int32)
+    for d in range(nd):
+        key = key * int(spatial_shape[d]) + indices[:, 1 + d].astype(jnp.int32)
+    return jnp.where(indices[:, 0] >= 0, key, BIG_KEY)
+
+
+class SparseConvTensor(struct.PyTreeNode):
+    features: jnp.ndarray                 # (N, C)
+    indices: jnp.ndarray                  # (N, 1+nd) int32 [b, z, y, x]; -1 pad
+    spatial_shape: Tuple[int, ...] = struct.field(pytree_node=False)
+    batch_size: int = struct.field(pytree_node=False)
+    # sorted-key lookup table (built lazily by with_hash())
+    sort_keys: Optional[jnp.ndarray] = None   # (N,) int32 ascending, pads last
+    sort_perm: Optional[jnp.ndarray] = None   # (N,) int32 original row ids
+
+    @property
+    def capacity(self):
+        return self.features.shape[0]
+
+    @property
+    def num_channels(self):
+        return self.features.shape[1]
+
+    @property
+    def valid(self):
+        return self.indices[:, 0] >= 0
+
+    def keys(self):
+        return linearize(self.indices, self.spatial_shape, self.batch_size)
+
+    def with_hash(self):
+        """Attach the sorted-key table (idempotent)."""
+        if self.sort_keys is not None:
+            return self
+        keys = self.keys()
+        perm = jnp.argsort(keys)
+        return self.replace(sort_keys=keys[perm], sort_perm=perm.astype(jnp.int32))
+
+    def lookup(self, query_keys):
+        """query_keys: (...,) int32 -> row index in [0, N] (N = miss/pad)."""
+        assert self.sort_keys is not None, "call with_hash() first"
+        pos = jnp.searchsorted(self.sort_keys, query_keys)
+        pos = jnp.clip(pos, 0, self.capacity - 1)
+        hit = (self.sort_keys[pos] == query_keys) & (query_keys != BIG_KEY)
+        return jnp.where(hit, self.sort_perm[pos], self.capacity)
+
+    def dense(self):
+        """-> (B, *spatial, C) dense tensor (spconv .dense() equivalent,
+        channels-last)."""
+        nd = len(self.spatial_shape)
+        flat_spatial = 1
+        for s in self.spatial_shape:
+            flat_spatial *= int(s)
+        key = self.keys()
+        key = jnp.where(key == BIG_KEY, self.batch_size * flat_spatial, key)
+        out = jnp.zeros((self.batch_size * flat_spatial + 1, self.num_channels),
+                        self.features.dtype)
+        out = out.at[key].set(self.features)
+        out = out[:-1].reshape(self.batch_size, *[int(s) for s in self.spatial_shape],
+                               self.num_channels)
+        return out
+
+    def replace_feature(self, new_features):
+        """spconv_utils.replace_feature equivalent (keeps coords + hash)."""
+        return self.replace(features=new_features)
