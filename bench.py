@@ -1,0 +1,111 @@
+"""Headline benchmark: CenterPoint INT8 vs bf16 ("FP16") frames/sec on one chip.
+
+Mirrors BASELINE.json's north-star metric (the reference claims a 35%
+inference-time reduction from hybrid PTQ on CenterPoint — README.md:15):
+we measure end-to-end jitted inference (voxel features -> sparse backbone ->
+BEV pyramid -> CenterHead decode + NMS) at the nuScenes compute envelope on
+synthetic scenes, in bf16 and in true-int8 deploy mode, and report the
+speedup ratio.  ``vs_baseline`` = ratio / 1.35 (>= 1.0 beats the target).
+
+Prints ONE JSON line on stdout; diagnostics go to stderr.
+Usage: python bench.py [--size bench|tiny] [--iters N]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build(cfg_name, batch_size=1):
+    import jax
+    from q3d_tpu.config import cfg_from_yaml_file, EDict
+    from q3d_tpu.datasets import build_dataloader
+    from q3d_tpu.models import build_network, load_data_to_device
+
+    cfg = cfg_from_yaml_file(str(ROOT / "tools/cfgs/synthetic_models" /
+                                 cfg_name), EDict())
+    dataset, loader, _ = build_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=batch_size, training=False)
+    model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
+                          dataset=dataset)
+    raw = next(iter(loader))
+    return cfg, model, raw
+
+
+def time_mode(model, variables, batch, rules, iters, warmup=3):
+    import jax
+    from q3d_tpu.quant.rules import quant_rules_scope
+
+    def fn(variables, batch):
+        with quant_rules_scope(rules):
+            out = model.apply(variables, batch, train=False)
+        return out["final_boxes"], out["final_scores"]
+
+    jfn = jax.jit(fn)
+    for _ in range(warmup):
+        out = jfn(variables, batch)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jfn(variables, batch)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="bench", choices=["bench", "tiny"])
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=1)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from q3d_tpu.models import load_data_to_device
+    from q3d_tpu.quant.api import int8_deploy_recipe, quantize_model
+    from q3d_tpu.quant.rules import quant_rules_scope
+
+    cfg_name = ("centerpoint_bench.yaml" if args.size == "bench"
+                else "centerpoint_tiny.yaml")
+    log(f"devices: {jax.devices()}")
+    cfg, model, raw = build(cfg_name, args.batch)
+
+    batch16 = load_data_to_device(raw, compute_dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), batch16, train=False)
+
+    log("timing bf16 ...")
+    dt16 = time_mode(model, variables, batch16, None, args.iters)
+    fps16 = args.batch / dt16
+    log(f"bf16: {dt16 * 1e3:.2f} ms/batch -> {fps16:.2f} frames/s")
+
+    rules = int8_deploy_recipe()
+    qvars = quantize_model(model, variables, rules, batch16)
+    log("timing int8 ...")
+    dt8 = time_mode(model, qvars, batch16, rules, args.iters)
+    fps8 = args.batch / dt8
+    log(f"int8: {dt8 * 1e3:.2f} ms/batch -> {fps8:.2f} frames/s")
+
+    ratio = fps8 / fps16
+    log(f"speedup int8/bf16 = {ratio:.3f}x (target 1.35x)")
+    print(json.dumps({
+        "metric": "centerpoint_synthetic_int8_vs_bf16_fps_ratio",
+        "value": round(ratio, 4),
+        "unit": "x",
+        "vs_baseline": round(ratio / 1.35, 4),
+        "detail": {"fps_bf16": round(fps16, 3), "fps_int8": round(fps8, 3),
+                   "ms_bf16": round(dt16 * 1e3, 3), "ms_int8": round(dt8 * 1e3, 3),
+                   "batch": args.batch, "config": cfg_name},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -121,8 +121,12 @@ _DEVICE_KEYS = ("voxels", "voxel_coords", "voxel_num_points", "points",
                 "points_mask", "gt_boxes")
 
 
-def load_data_to_device(batch_dict, sharding=None):
-    """numpy batch -> device arrays (reference load_data_to_gpu:23)."""
+def load_data_to_device(batch_dict, sharding=None, compute_dtype=None):
+    """numpy batch -> device arrays (reference load_data_to_gpu:23).
+
+    compute_dtype (e.g. jnp.bfloat16) casts floating-point inputs so the
+    whole network runs in that precision (the TPU 'FP16 baseline' mode).
+    """
     out = {}
     for k, v in batch_dict.items():
         take = k in _DEVICE_KEYS or any(
@@ -130,6 +134,8 @@ def load_data_to_device(batch_dict, sharding=None):
             for p in ("voxels", "voxel_coords", "voxel_num_points"))
         if take and isinstance(v, np.ndarray):
             arr = jnp.asarray(v)
+            if compute_dtype is not None and jnp.issubdtype(arr.dtype, jnp.floating):
+                arr = arr.astype(compute_dtype)
             if sharding is not None:
                 arr = jax.device_put(arr, sharding)
             out[k] = arr

@@ -1,0 +1,246 @@
+"""CenterHead — CenterPoint's class-grouped heatmap head.
+
+Parity with reference ``dense_heads/center_head.py:49-416``: shared 3x3 conv,
+per-class-group ``SeparateHead`` branches (center/center_z/dim/rot/vel/hm),
+gaussian heatmap target assignment (``assign_target_of_single_head:106``),
+CenterNet focal + gathered-L1 reg losses, ``decode_bbox_from_heatmap`` top-K
+decode + per-head class-agnostic NMS.
+
+TPU re-design: target assignment is fully vectorized/jittable (the reference
+loops objects on CPU per frame); decode + NMS emit fixed-size (B, heads*POST)
+arrays with validity masks.  The detection-head convs are quant-rule-aware —
+the reference excludes exactly these output convs from quantization via
+``no_list`` (``quant/quant_centerpoint.py:28-71``), which our path rules
+express as ``dense_head.heads_list*`` patterns.
+"""
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...utils import loss_utils
+from ..layers import Conv2d, BatchNorm, relu
+from ..model_utils import centernet_utils, model_nms_utils
+
+
+class SeparateHead(nn.Module):
+    """Per-group regression branches (reference center_head.py:12-46)."""
+    sep_head_dict: Any                       # {name: {out_channels, num_conv}}
+    input_channels: int
+    init_bias: float = -2.19
+    use_bias: bool = False
+    bn_eps: float = 1e-5
+    bn_mom: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out = {}
+        for name, spec in self.sep_head_dict.items():
+            y = x
+            for k in range(int(spec["num_conv"]) - 1):
+                y = Conv2d(self.input_channels, 3, 1, 1, use_bias=self.use_bias,
+                           name=f"{name}_{k}")(y)
+                y = BatchNorm(self.bn_eps, self.bn_mom, name=f"{name}_{k}_norm")(y, train)
+                y = relu(y)
+            bias_init = self.init_bias if "hm" in name else 0.0
+            y = Conv2d(int(spec["out_channels"]), 3, 1, 1, use_bias=True,
+                       bias_init=bias_init, name=f"{name}_out")(y)
+            out[name] = y
+        return out
+
+
+class CenterHead(nn.Module):
+    model_cfg: Any
+    input_channels: int
+    num_class: int
+    class_names: Tuple[str, ...]
+    grid_size: Tuple[int, int, int]
+    point_cloud_range: Tuple[float, ...]
+    voxel_size: Tuple[float, float, float]
+    predict_boxes_when_training: bool = False
+
+    def setup(self):
+        cfg = self.model_cfg
+        self.feature_map_stride = cfg.TARGET_ASSIGNER_CONFIG.get(
+            "FEATURE_MAP_STRIDE", None)
+        names_each_head, id_mapping_each_head = [], []
+        for names in cfg.CLASS_NAMES_EACH_HEAD:
+            present = [x for x in names if x in self.class_names]
+            names_each_head.append(present)
+            id_mapping_each_head.append(
+                np.array([self.class_names.index(x) for x in present], np.int32))
+        self.class_names_each_head = names_each_head
+        self.class_id_mapping_each_head = id_mapping_each_head
+
+        shared_ch = cfg.SHARED_CONV_CHANNEL
+        self.shared_conv = Conv2d(shared_ch, 3, 1, 1,
+                                  use_bias=cfg.get("USE_BIAS_BEFORE_NORM", False),
+                                  name="shared_conv")
+        self.shared_norm = BatchNorm(cfg.get("BN_EPS", 1e-5),
+                                     cfg.get("BN_MOM", 0.1), name="shared_norm")
+        heads = []
+        for idx, names in enumerate(self.class_names_each_head):
+            head_dict = {k: dict(v) for k, v in cfg.SEPARATE_HEAD_CFG.HEAD_DICT.items()}
+            head_dict["hm"] = {"out_channels": len(names),
+                               "num_conv": cfg.NUM_HM_CONV}
+            heads.append(SeparateHead(
+                sep_head_dict=head_dict, input_channels=shared_ch,
+                init_bias=-2.19, use_bias=cfg.get("USE_BIAS_BEFORE_NORM", False),
+                bn_eps=cfg.get("BN_EPS", 1e-5), bn_mom=cfg.get("BN_MOM", 0.1),
+                name=f"heads_list_{idx}"))
+        self.heads_list = heads
+
+    # -------------------------- target assignment -------------------------
+
+    def assign_targets_one_head(self, gt_boxes, head_class_ids, num_classes,
+                                feat_hw):
+        """gt_boxes: (M, 8) padded; head_class_ids: (C,) global ids of this
+        head's classes. Vectorized equivalent of reference
+        assign_target_of_single_head."""
+        cfg = self.model_cfg.TARGET_ASSIGNER_CONFIG
+        H, W = feat_hw
+        M = gt_boxes.shape[0]
+        stride = cfg.FEATURE_MAP_STRIDE
+        gt_cls_global = gt_boxes[:, -1].astype(jnp.int32) - 1       # 0-based
+        # map to head-local class id; non-members -> invalid
+        mapping = jnp.full(len(self.class_names) + 1, -1, jnp.int32)
+        for local, gid in enumerate(np.asarray(head_class_ids)):
+            mapping = mapping.at[gid].set(local)
+        local_cls = mapping[jnp.clip(gt_cls_global, 0, len(self.class_names))]
+        valid = (gt_boxes[:, -1] > 0) & (local_cls >= 0)
+
+        coord_x = (gt_boxes[:, 0] - self.point_cloud_range[0]) \
+            / self.voxel_size[0] / stride
+        coord_y = (gt_boxes[:, 1] - self.point_cloud_range[1]) \
+            / self.voxel_size[1] / stride
+        coord_x = jnp.clip(coord_x, 0, W - 0.5)
+        coord_y = jnp.clip(coord_y, 0, H - 0.5)
+        center = jnp.stack([coord_x, coord_y], axis=1)
+        center_int = jnp.floor(center).astype(jnp.int32)
+
+        dx = gt_boxes[:, 3] / self.voxel_size[0] / stride
+        dy = gt_boxes[:, 4] / self.voxel_size[1] / stride
+        radius = centernet_utils.gaussian_radius(dx, dy, cfg.GAUSSIAN_OVERLAP)
+        radius = jnp.maximum(radius.astype(jnp.int32), cfg.MIN_RADIUS)
+        valid = valid & (dx > 0) & (dy > 0)
+
+        heatmap = centernet_utils.splat_gaussians(
+            center, radius, local_cls, valid, num_classes, H, W)
+
+        inds = center_int[:, 1] * W + center_int[:, 0]
+        inds = jnp.where(valid, inds, 0)
+        mask = valid
+        n_extra = gt_boxes.shape[1] - 8
+        ret_boxes = jnp.concatenate([
+            center - center_int.astype(center.dtype),
+            gt_boxes[:, 2:3],
+            jnp.log(jnp.clip(gt_boxes[:, 3:6], 1e-6, None)),
+            jnp.cos(gt_boxes[:, 6:7]), jnp.sin(gt_boxes[:, 6:7]),
+            gt_boxes[:, 7:7 + n_extra],
+        ], axis=1)
+        ret_boxes = jnp.where(mask[:, None], ret_boxes, 0.0)
+        return heatmap, ret_boxes, inds, mask
+
+    def get_loss_one_head(self, pred, target, head_order, code_weights, lw):
+        hm = jnp.clip(jax.nn.sigmoid(pred["hm"]), 1e-4, 1 - 1e-4)
+        # NHWC -> NCHW view for the focal loss (shape-agnostic anyway)
+        hm_loss = loss_utils.FocalLossCenterNet()(
+            hm.transpose(0, 3, 1, 2), target["heatmap"]) * lw["cls_weight"]
+        preds = jnp.concatenate([pred[k] for k in head_order], axis=-1)
+        B, H, W, C = preds.shape
+        flat = preds.reshape(B, H * W, C)
+        gathered = jnp.take_along_axis(flat, target["inds"][..., None], axis=1)
+        m = target["mask"][..., None].astype(preds.dtype)
+        diff = jnp.abs(gathered * m - target["boxes"] * m)
+        diff = diff * jnp.asarray(code_weights)
+        loc_loss = diff.sum() / jnp.clip(m.sum(), 1e-4, None) * lw["loc_weight"]
+        return hm_loss, loc_loss
+
+    # ------------------------------ forward -------------------------------
+
+    def __call__(self, batch_dict, train: bool = False):
+        cfg = self.model_cfg
+        x = batch_dict["spatial_features_2d"]
+        x = relu(self.shared_norm(self.shared_conv(x), train))
+        pred_dicts = [head(x, train) for head in self.heads_list]
+
+        if train:
+            lw = cfg.LOSS_CONFIG.LOSS_WEIGHTS
+            H, W = x.shape[1], x.shape[2]
+            total = 0.0
+            tb = {}
+            for idx, pred in enumerate(pred_dicts):
+                ids = self.class_id_mapping_each_head[idx]
+
+                def one(gt):
+                    return self.assign_targets_one_head(
+                        gt, ids, len(ids), (H, W))
+                heat, boxes, inds, mask = jax.vmap(one)(batch_dict["gt_boxes"])
+                target = {"heatmap": heat, "boxes": boxes, "inds": inds,
+                          "mask": mask}
+                hm_loss, loc_loss = self.get_loss_one_head(
+                    pred, target, cfg.SEPARATE_HEAD_CFG.HEAD_ORDER,
+                    lw["code_weights"], lw)
+                total = total + hm_loss + loc_loss
+                tb[f"hm_loss_head_{idx}"] = hm_loss
+                tb[f"loc_loss_head_{idx}"] = loc_loss
+            batch_dict["loss"] = batch_dict.get("loss", 0.0) + total
+            batch_dict["tb_dict"] = {**batch_dict.get("tb_dict", {}), **tb}
+
+        if not train or self.predict_boxes_when_training:
+            self._predict(batch_dict, pred_dicts)
+        return batch_dict
+
+    def _predict(self, batch_dict, pred_dicts):
+        cfg = self.model_cfg
+        pp = cfg.POST_PROCESSING
+        nms_cfg = pp.NMS_CONFIG
+        post_range = list(pp.POST_CENTER_LIMIT_RANGE)
+        head_order = list(cfg.SEPARATE_HEAD_CFG.HEAD_ORDER)
+
+        all_boxes, all_scores, all_labels, all_valid = [], [], [], []
+        for idx, pred in enumerate(pred_dicts):
+            ids = jnp.asarray(self.class_id_mapping_each_head[idx])
+
+            def decode_one(hm, center, center_z, dim, rot, vel):
+                d = centernet_utils.decode_bbox_from_heatmap(
+                    jax.nn.sigmoid(hm), rot[..., 0:1], rot[..., 1:2],
+                    center, center_z, jnp.exp(dim),
+                    self.point_cloud_range, self.voxel_size,
+                    self.feature_map_stride, vel=vel,
+                    K=pp.MAX_OBJ_PER_SAMPLE, score_thresh=pp.SCORE_THRESH,
+                    post_center_limit_range=post_range)
+                sel, sel_valid = model_nms_utils.class_agnostic_nms(
+                    d["scores"], d["boxes"][:, :7], nms_cfg,
+                    box_valid=d["valid"])
+                boxes = d["boxes"][sel]
+                scores = d["scores"][sel]
+                labels = ids[d["labels"][sel]] + 1
+                return boxes, scores, labels, sel_valid
+
+            if "vel" in pred:
+                boxes, scores, labels, valid = jax.vmap(decode_one)(
+                    pred["hm"], pred["center"], pred["center_z"], pred["dim"],
+                    pred["rot"], pred["vel"])
+            else:
+                boxes, scores, labels, valid = jax.vmap(
+                    lambda hm, c, cz, d, r: decode_one(hm, c, cz, d, r, None))(
+                    pred["hm"], pred["center"], pred["center_z"], pred["dim"],
+                    pred["rot"])
+            all_boxes.append(boxes)
+            all_scores.append(scores)
+            all_labels.append(labels)
+            all_valid.append(valid)
+
+        batch_dict["final_boxes"] = jnp.concatenate(all_boxes, axis=1)
+        batch_dict["final_scores"] = jnp.concatenate(all_scores, axis=1)
+        batch_dict["final_labels"] = jnp.concatenate(all_labels, axis=1)
+        batch_dict["final_valid"] = jnp.concatenate(all_valid, axis=1)
+        if self.predict_boxes_when_training:
+            batch_dict["rois"] = batch_dict["final_boxes"]
+            batch_dict["roi_scores"] = batch_dict["final_scores"]
+            batch_dict["roi_labels"] = batch_dict["final_labels"]
+            batch_dict["has_class_labels"] = True

@@ -1,0 +1,26 @@
+"""SECOND detector (reference ``detectors/second_net.py``):
+MeanVFE -> VoxelBackBone8x -> HeightCompression -> BaseBEVBackbone ->
+AnchorHeadSingle."""
+
+from .detector3d_template import Detector3DTemplate
+
+
+class SECONDNet(Detector3DTemplate):
+
+    def setup(self):
+        modules, _ = self.build_networks()
+        self.vfe = modules["vfe"]
+        self.backbone_3d = modules["backbone_3d"]
+        self.map_to_bev_module = modules["map_to_bev_module"]
+        self.backbone_2d = modules["backbone_2d"]
+        self.dense_head = modules["dense_head"]
+
+    def __call__(self, batch_dict, train: bool = False):
+        batch_dict = self.vfe(batch_dict, train)
+        batch_dict = self.backbone_3d(batch_dict, train)
+        batch_dict = self.map_to_bev_module(batch_dict, train)
+        batch_dict = self.backbone_2d(batch_dict, train)
+        batch_dict = self.dense_head(batch_dict, train)
+        if train:
+            return batch_dict
+        return self.post_processing(batch_dict)

@@ -83,6 +83,9 @@ class Conv2d(nn.Module):
                 rhs_dilation=(self.dilation, self.dilation),
                 dimension_numbers=dn, feature_group_count=self.groups,
                 preferred_element_type=jnp.float32)
+        elif rule.deploy_int8:
+            assert self.groups == 1 and self.dilation == 1
+            y = self._int8_conv(x, kernel, rule, (sh, sw), (ph, pw))
         elif rule.smoothquant is not None:
             assert self.groups == 1, "SmoothQuant conv does not support groups"
             y = self._smoothquant_conv(x, kernel, rule, (sh, sw), (ph, pw))
@@ -102,6 +105,42 @@ class Conv2d(nn.Module):
         if bias is not None:
             y = y + bias
         return y.astype(self.dtype or x.dtype)
+
+    def _int8_conv(self, x, kernel, rule, strides, pads):
+        """True int8 conv: im2col -> int8 MXU GEMM (int32 accum) -> rescale.
+
+        The deployment realization of the reference's PTQ recipes: fake-quant
+        calibration numerics become x_q @ w_q with the same scales.  Optional
+        SmoothQuant column scaling is applied in fp before quantization.
+        """
+        kh, kw, cin, cout = kernel.shape
+        patches = jax.lax.conv_general_dilated_patches(
+            x, (kh, kw), strides, [(pads[0], pads[0]), (pads[1], pads[1])],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        w2d = kernel.transpose(2, 0, 1, 3).reshape(cin * kh * kw, cout)
+        if rule.smoothquant is not None:
+            sq = rule.smoothquant
+            w_amax_col = jnp.maximum(jnp.max(jnp.abs(w2d), axis=1), 1e-5)
+            ndim = patches.ndim
+            act_amax_col = jax.lax.stop_gradient(jnp.maximum(
+                jnp.max(jnp.abs(patches), axis=tuple(range(ndim - 1))), 1e-5))
+            scale = jnp.maximum(jnp.power(act_amax_col, sq.alpha)
+                                / jnp.power(w_amax_col, 1 - sq.alpha), 1e-5)
+            patches = patches / scale
+            w2d = w2d * scale[:, None]
+        assert rule.act is not None and rule.act.axis is None, \
+            "int8 deploy needs per-tensor activation scales"
+        pq, s_act = TensorQuantizer(rule.act, mode="int", name="act_quant")(patches)
+        wspec = dataclasses.replace(
+            rule.weight, axis=1 if rule.weight.axis is not None else None)
+        wq, s_w = TensorQuantizer(wspec, mode="int", name="weight_quant")(w2d)
+        B, H, W, KC = pq.shape
+        out = jax.lax.dot_general(
+            pq.reshape(B * H * W, KC), wq,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        out = out.astype(jnp.float32) * (s_act * s_w.reshape(1, -1))
+        return out.reshape(B, H, W, cout).astype(x.dtype)
 
     def _smoothquant_conv(self, x, kernel, rule, strides, pads):
         """im2col + alpha-scale migration (reference smoothquant.py:38-99)."""

@@ -164,12 +164,16 @@ def inverse_conv_indices(st: SparseConvTensor, target_indices, target_spatial,
     return st.lookup(qkeys).reshape(target_indices.shape[0], -1)
 
 
-def gather_conv(features, gather_idx, weight, out_valid=None,
+def gather_conv(features, gather_idx, weight, out_valid=None, out_scale=None,
                 preferred_dtype=jnp.float32):
     """Execute the conv: features (N, Cin), gather_idx (M, K),
     weight (K, Cin, Cout) -> (M, Cout).
 
     One (M, K*Cin) x (K*Cin, Cout) MXU GEMM; misses hit the zero pad row.
+    int8 features/weights run as a true int8 GEMM accumulating int32, then
+    rescale by ``out_scale`` (the dequantization factors) — the deployment
+    path of the reference's QConvNd (quant/quant.py:6-58) with no
+    fake-quant round trip.
     """
     N, cin = features.shape
     K = gather_idx.shape[1]
@@ -177,7 +181,15 @@ def gather_conv(features, gather_idx, weight, out_valid=None,
         [features, jnp.zeros((1, cin), features.dtype)], axis=0)
     g = feats_pad[gather_idx.reshape(-1)].reshape(-1, K * cin)     # (M, K*Cin)
     w2d = weight.reshape(K * cin, -1)
-    out = jnp.dot(g, w2d.astype(g.dtype), preferred_element_type=preferred_dtype)
+    if features.dtype == jnp.int8:
+        out = jnp.dot(g, w2d, preferred_element_type=jnp.int32)
+        out = out.astype(jnp.float32)
+    else:
+        out = jnp.dot(g, w2d.astype(g.dtype),
+                      preferred_element_type=preferred_dtype)
+        out = out.astype(features.dtype)
+    if out_scale is not None:
+        out = out * out_scale
     if out_valid is not None:
         out = out * out_valid[:, None].astype(out.dtype)
     return out

@@ -69,11 +69,24 @@ class _SparseConvBase(nn.Module):
         return w, b
 
     def _quantize(self, features, weight, valid):
+        """-> (features, weight, out_scale|None); int8 dtypes when deploying."""
         rules = get_active_rules()
         rule = rules.lookup(_dotted_path(self), self.KIND) if rules else None
         if rule is None:
-            return features, weight
+            return features, weight, None
         feats = features * valid[:, None]          # keep padding out of amax
+        if rule.deploy_int8:
+            # true-int8 path: requires per-tensor act scale so the output
+            # rescale factors out of the GEMM
+            assert rule.act is not None and rule.act.axis is None, \
+                "int8 deploy needs per-tensor activation scales"
+            aspec = dataclasses.replace(rule.act)
+            fq, s_act = TensorQuantizer(aspec, mode="int", name="act_quant")(feats)
+            wspec = dataclasses.replace(
+                rule.weight, axis=2 if rule.weight.axis is not None else None)
+            wq, s_w = TensorQuantizer(wspec, mode="int", name="weight_quant")(weight)
+            out_scale = (s_act * s_w).reshape(1, -1)      # (1, Cout)
+            return fq, wq, out_scale
         if rule.act is not None:
             feats = TensorQuantizer(rule.act, name="act_quant")(feats)
         w = weight
@@ -81,7 +94,7 @@ class _SparseConvBase(nn.Module):
             wspec = dataclasses.replace(
                 rule.weight, axis=2 if rule.weight.axis is not None else None)
             w = TensorQuantizer(wspec, name="weight_quant")(w)
-        return feats, w
+        return feats, w, None
 
 
 class _SubMConv(_SparseConvBase):
@@ -99,8 +112,8 @@ class _SubMConv(_SparseConvBase):
                 st, self.kernel_size, self.dilation)
             if rulebook_cache is not None:
                 rulebook_cache[cache_key] = gather_idx
-        feats, w = self._quantize(st.features, w, st.valid)
-        out = engine.gather_conv(feats, gather_idx, w)
+        feats, w, out_scale = self._quantize(st.features, w, st.valid)
+        out = engine.gather_conv(feats, gather_idx, w, out_scale=out_scale)
         if b is not None:
             out = out + b
         return st.replace(features=out)
@@ -124,9 +137,10 @@ class _SparseConv(_SparseConvBase):
                 rulebook_cache[("coords_before", cache_key)] = st.indices
         else:
             out_indices, gather_idx, out_spatial = cached
-        feats, w = self._quantize(st.features, w, st.valid)
+        feats, w, out_scale = self._quantize(st.features, w, st.valid)
         out = engine.gather_conv(feats, gather_idx, w,
-                                 out_valid=out_indices[:, 0] >= 0)
+                                 out_valid=out_indices[:, 0] >= 0,
+                                 out_scale=out_scale)
         if b is not None:
             out = out + b * (out_indices[:, 0] >= 0)[:, None]
         return SparseConvTensor(features=out, indices=out_indices,
@@ -169,9 +183,10 @@ class SparseInverseConv3d(_SparseConvBase):
         gather_idx = engine.inverse_conv_indices(
             st, target_indices, target_spatial, self.kernel_size,
             self.stride, self.padding)
-        feats, w = self._quantize(st.features, w, st.valid)
+        feats, w, out_scale = self._quantize(st.features, w, st.valid)
         out = engine.gather_conv(feats, gather_idx, w,
-                                 out_valid=target_indices[:, 0] >= 0)
+                                 out_valid=target_indices[:, 0] >= 0,
+                                 out_scale=out_scale)
         if b is not None:
             out = out + b * (target_indices[:, 0] >= 0)[:, None]
         return SparseConvTensor(features=out, indices=target_indices,

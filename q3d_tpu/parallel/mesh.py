@@ -1,0 +1,119 @@
+"""Device-mesh data parallelism — the TPU-native replacement for the
+reference's NCCL/DDP stack.
+
+Reference parity (SURVEY.md §2.6):
+  * process-group init + DDP wrap (``common_utils.py:162-206``,
+    ``tools/train.py:162``)            -> one JAX process sees all local
+    chips; a ``jax.sharding.Mesh`` over them; grads sync via XLA's automatic
+    collectives when the batch axis is sharded under jit — no launcher
+    scripts, no explicit allreduce calls;
+  * SyncBatchNorm (``train.py:131``)   -> free: batch-stat reductions happen
+    inside the same jitted program across the sharded batch axis;
+  * scalar metric all_reduce (``commu_utils.py:143``) -> jnp.mean inside jit;
+  * eval-order-preserving result merge (``common_utils.merge_results_dist``)
+    -> host gather of fixed-size per-device outputs (``merge_results``), no
+    filesystem pickle rendezvous.
+
+Scale-out axes beyond data parallelism are intentionally available in the
+mesh helper (the reference has DP only — SURVEY §2.6): pass
+``axes={'data': 4, 'model': 2}`` and shard BEV feature maps over 'model' for
+spatial tensor parallelism (see ``shard_batch``'s ``spatial`` option).
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axes=("data",)):
+    """Mesh over the first n_devices (default: all)."""
+    devs = jax.devices()[:n_devices] if n_devices else jax.devices()
+    if len(axes) == 1:
+        shape = (len(devs),)
+    else:
+        raise NotImplementedError("multi-axis meshes configured per model")
+    return Mesh(np.asarray(devs).reshape(shape), axes)
+
+
+def shard_batch(batch, mesh, axis="data"):
+    """Put a host batch dict on the mesh, sharded over the leading (batch)
+    dim; non-array entries pass through replicated."""
+    sharding = NamedSharding(mesh, P(axis))
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, (np.ndarray, jnp.ndarray)) and np.ndim(v) >= 1 \
+                and v.shape[0] % mesh.shape[axis] == 0:
+            out[k] = jax.device_put(jnp.asarray(v), sharding)
+        else:
+            out[k] = v
+    return out
+
+
+def replicate(tree, mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def make_train_step(model, tx, mesh=None, grad_clip=10.0):
+    """Build a jitted (sharded) training step.
+
+    state = (variables, opt_state); batch sharded over 'data'.
+    Gradient averaging across devices is performed by XLA automatically when
+    the loss reduces over the sharded batch axis — the DDP allreduce
+    equivalent with zero user-visible collectives.
+    """
+    import optax
+
+    def loss_fn(params, other_vars, batch):
+        out, mutated = model.apply(
+            {"params": params, **other_vars}, batch, train=True,
+            mutable=["batch_stats"])
+        return out["loss"], (mutated, out.get("tb_dict", {}))
+
+    def step(variables, opt_state, batch):
+        params = variables["params"]
+        other = {k: v for k, v in variables.items() if k != "params"}
+        (loss, (mutated, tb)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, other, batch)
+        if grad_clip:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, grad_clip / (gnorm + 1e-6))
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        new_vars = {**variables, "params": params,
+                    "batch_stats": mutated.get("batch_stats",
+                                               variables.get("batch_stats", {}))}
+        return new_vars, opt_state, loss, tb
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 1))
+    state_sharding = NamedSharding(mesh, P())
+    return jax.jit(step, donate_argnums=(0, 1),
+                   in_shardings=(state_sharding, state_sharding, None),
+                   out_shardings=(state_sharding, state_sharding,
+                                  state_sharding, state_sharding))
+
+
+def make_eval_step(model, mesh=None, rules=None):
+    """Jitted inference step returning the fixed-size final arrays."""
+    from ..quant.rules import quant_rules_scope
+
+    def step(variables, batch):
+        with quant_rules_scope(rules):
+            out = model.apply(variables, batch, train=False)
+        return {k: out[k] for k in ("final_boxes", "final_scores",
+                                    "final_labels", "final_valid")}
+
+    return jax.jit(step)
+
+
+def merge_results(per_batch_outputs):
+    """Concatenate fixed-size per-batch host outputs in order (replaces the
+    reference's filesystem-pickle rank merge)."""
+    keys = per_batch_outputs[0].keys()
+    return {k: np.concatenate([np.asarray(o[k]) for o in per_batch_outputs])
+            for k in keys}

@@ -1,0 +1,161 @@
+"""High-level PTQ workflow — the TPU equivalent of the reference's quant
+drivers (``quant/quant_centerpoint.py:74-131``, ``quant/quantize.py``).
+
+Workflow (functional re-design of the module-swap + calibrate + eval flow):
+
+    rules = centerpoint_recipe(w_bits=8, act_bits=8, sq=True, alpha=0.5)
+    qmodel, qvars = quantize_model(model, variables, rules, example_batch)
+    # dynamic PTQ: done — evaluate qmodel/qvars under quant_rules_scope(rules)
+    # static PTQ:
+    qvars = collect_stats(qmodel, qvars, rules, data_iter, num_batches=200)
+    qvars = compute_amax(qvars, method='entropy')
+
+``quantize_model`` rebuilds the variable tree with quantizer slots while
+reusing every FP parameter unchanged — the functional analogue of swapping
+``QConvNd``/``SQConv2d`` modules into a trained torch model.
+"""
+
+import jax
+import numpy as np
+
+from .rules import QuantRules, LayerRule, SmoothQuantCfg, quant_rules_scope
+from .tensor_quant import QuantSpec, resolve_amax
+
+
+# --------------------------------------------------------------------------
+# recipes (parity with the reference drivers' quant() configurations)
+# --------------------------------------------------------------------------
+
+def centerpoint_recipe(w_bits=8, act_bits=8, sq=True, alpha=0.5, static=False,
+                       extra_no_list=()):
+    """quant_centerpoint.py:74-131 semantics:
+    - sparse 3D convs -> per-out-channel weights + per-IN-channel acts when
+      sq ('cw' flag), skipping the first conv (backbone_3d.conv_input);
+    - Conv2d -> SmoothQuant(alpha) (or plain fake-quant when sq=False),
+      skipping every detection-head output conv and the hm branches."""
+    dynamic = not static
+    calib = "histogram" if static else "max"
+    sparse_rule = LayerRule(
+        layer_kinds=("subm_conv3d", "sparse_conv3d"),
+        weight=QuantSpec(w_bits, axis=0, dynamic=True),
+        act=QuantSpec(act_bits, axis=1 if sq else None, dynamic=dynamic,
+                      calibrator="max" if sq else calib),
+    )
+    conv2d_rule = LayerRule(
+        layer_kinds=("conv2d",),
+        weight=QuantSpec(w_bits, axis=0, dynamic=True),
+        act=QuantSpec(act_bits, axis=None, dynamic=dynamic, calibrator=calib),
+        smoothquant=SmoothQuantCfg(alpha=alpha, dynamic=dynamic) if sq else None,
+    )
+    no_list = (
+        "backbone_3d.conv_input*",
+        "dense_head.heads_list_*.*_out",   # every branch's output conv
+        "dense_head.heads_list_*.hm_*",    # full-precision heatmap branch
+    ) + tuple(extra_no_list)
+    return QuantRules(rules=(sparse_rule, conv2d_rule), no_list=no_list)
+
+
+def second_recipe(w_bits=8, act_bits=8, sq=True, alpha=0.5, static=False):
+    """quant_second.py semantics: same backbone treatment; no_list = the
+    RPN head's output convs (here AnchorHeadSingle's conv_cls/conv_box/
+    conv_dir_cls)."""
+    base = centerpoint_recipe(w_bits, act_bits, sq, alpha, static)
+    no_list = (
+        "backbone_3d.conv_input*",
+        "dense_head.conv_cls", "dense_head.conv_box", "dense_head.conv_dir_cls",
+    )
+    return QuantRules(rules=base.rules, no_list=no_list)
+
+
+def int8_deploy_recipe(sq=False, alpha=0.5, static=False, extra_no_list=()):
+    """True-int8 execution for every backbone conv (sparse 3D + dense 2D):
+    per-tensor dynamic act scales, per-out-channel weight scales, int8 MXU
+    GEMMs with int32 accumulation.  Heads + first sparse conv stay FP,
+    matching the reference's accuracy-preserving exclusions."""
+    dynamic = not static
+    calib = "histogram" if static else "max"
+    sparse_rule = LayerRule(
+        layer_kinds=("subm_conv3d", "sparse_conv3d", "subm_conv2d",
+                     "sparse_conv2d"),
+        weight=QuantSpec(8, axis=0, dynamic=True),
+        act=QuantSpec(8, axis=None, dynamic=dynamic, calibrator=calib),
+        deploy_int8=True,
+    )
+    conv2d_rule = LayerRule(
+        layer_kinds=("conv2d",),
+        weight=QuantSpec(8, axis=0, dynamic=True),
+        act=QuantSpec(8, axis=None, dynamic=dynamic, calibrator=calib),
+        smoothquant=SmoothQuantCfg(alpha=alpha, dynamic=True) if sq else None,
+        deploy_int8=True,
+    )
+    no_list = (
+        "backbone_3d.conv_input*",
+        "dense_head.heads_list_*.*_out",
+        "dense_head.heads_list_*.hm_*",
+        "dense_head.conv_cls", "dense_head.conv_box", "dense_head.conv_dir_cls",
+    ) + tuple(extra_no_list)
+    return QuantRules(rules=(sparse_rule, conv2d_rule), no_list=no_list)
+
+
+def pointpillar_recipe(w_bits=8, act_bits=8, sq=True, alpha=0.5, static=False):
+    base = centerpoint_recipe(w_bits, act_bits, sq, alpha, static)
+    no_list = (
+        "vfe*",
+        "dense_head.conv_cls", "dense_head.conv_box", "dense_head.conv_dir_cls",
+    )
+    return QuantRules(rules=base.rules, no_list=no_list)
+
+
+# --------------------------------------------------------------------------
+# workflow steps
+# --------------------------------------------------------------------------
+
+def quantize_model(model, fp_variables, rules, example_batch):
+    """Attach quantizer variable slots, reusing the FP params/batch_stats.
+
+    Returns a new variables dict containing 'params', 'batch_stats' (copied
+    from fp_variables) plus fresh 'quant' (amax) slots.
+    """
+    with quant_rules_scope(rules):
+        new_vars = model.init(jax.random.PRNGKey(0), example_batch, train=False)
+    out = dict(new_vars)
+    for coll in ("params", "batch_stats"):
+        if coll in fp_variables:
+            out[coll] = fp_variables[coll]
+    return out
+
+
+def collect_stats(model, variables, rules, data_iter, num_batches=200,
+                  loader_to_device=None, verbose=False):
+    """Stream calibration batches with the 'calib' collection mutable
+    (reference quantize.py:175-195 enable-calib/disable-quant pass)."""
+    from ..models import load_data_to_device
+    loader_to_device = loader_to_device or load_data_to_device
+    variables = dict(variables)
+    calib = variables.pop("calib", {})
+    with quant_rules_scope(rules):
+        @jax.jit
+        def step(vars_nocalib, calib_state, batch):
+            _, mut = model.apply({**vars_nocalib, "calib": calib_state},
+                                 batch, train=False, mutable=["calib"])
+            return mut["calib"]
+
+        for i, batch in enumerate(data_iter):
+            if i >= num_batches:
+                break
+            calib = step(variables, calib, loader_to_device(batch))
+            if verbose and i % 20 == 0:
+                print(f"calib batch {i}")
+    variables["calib"] = jax.device_get(calib)
+    return variables
+
+
+def compute_amax(variables, method="entropy", **kwargs):
+    """Fold calibration state into committed amax (reference
+    quantize.py:198-207 load_calib_amax)."""
+    variables = dict(variables)
+    if "calib" not in variables or "quant" not in variables:
+        return variables
+    variables["quant"] = resolve_amax(variables["calib"], variables["quant"],
+                                      method=method, **kwargs)
+    return variables

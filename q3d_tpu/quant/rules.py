@@ -41,6 +41,10 @@ class LayerRule:
     act: Optional[QuantSpec] = QuantSpec(num_bits=8, axis=None, dynamic=True)
     smoothquant: Optional[SmoothQuantCfg] = None
     pattern: str = "*"                     # fnmatch over the dotted path
+    # True -> execute as REAL int8 MXU GEMMs (x_q @ w_q -> int32 -> rescale)
+    # instead of fake-quant; requires per-tensor act scales.  This is the
+    # deployment path that realizes the reference's claimed 35% speedup.
+    deploy_int8: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

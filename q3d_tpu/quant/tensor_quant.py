@@ -97,9 +97,15 @@ def quantize_to_int(x, amax, num_bits=8, axis=None):
 
 
 class TensorQuantizer(nn.Module):
-    """Flax quantizer module; see module docstring for the state layout."""
+    """Flax quantizer module; see module docstring for the state layout.
+
+    mode='fake': returns the quantize-dequantized tensor (STE gradient).
+    mode='int':  returns (int8 values, float scale broadcastable over x) —
+                 the deployment path feeding true int8 MXU GEMMs.
+    """
 
     spec: QuantSpec
+    mode: str = "fake"
 
     @nn.compact
     def __call__(self, x):
@@ -110,8 +116,7 @@ class TensorQuantizer(nn.Module):
         collecting = self.is_mutable_collection("calib")
         if spec.dynamic and not collecting:
             amax = jax.lax.stop_gradient(_reduce_amax(x, spec.axis))
-            return fake_quant(x, amax, spec.num_bits, spec.unsigned,
-                              spec.narrow_range, spec.axis)
+            return self._emit(x, amax)
 
         amax_shape = () if spec.axis is None else (x.shape[spec.axis % x.ndim],)
         amax_var = self.variable("quant", "amax",
@@ -132,16 +137,24 @@ class TensorQuantizer(nn.Module):
                     jnp.abs(x).reshape(-1), hist_var.value, width_var.value)
                 hist_var.value = new_hist
                 width_var.value = new_width
+            if self.mode == "int":
+                return self._emit(x, jnp.maximum(batch_amax, 1e-12))
             return x  # pass-through while calibrating (quant disabled)
 
-        amax = amax_var.value
+        amax = jnp.maximum(amax_var.value, 1e-12)
+        if self.mode == "int":
+            return self._emit(x, amax)
         # amax == 0 (never calibrated) -> pass-through, mirroring
         # pytorch_quantization's warning-and-skip behavior
-        safe = jnp.all(amax > 0)
-        return jnp.where(safe,
-                         fake_quant(x, jnp.maximum(amax, 1e-12), spec.num_bits,
-                                    spec.unsigned, spec.narrow_range, spec.axis),
-                         x)
+        safe = jnp.all(amax_var.value > 0)
+        return jnp.where(safe, self._emit(x, amax), x)
+
+    def _emit(self, x, amax):
+        spec = self.spec
+        if self.mode == "int":
+            return quantize_to_int(x, amax, spec.num_bits, spec.axis)
+        return fake_quant(x, amax, spec.num_bits, spec.unsigned,
+                          spec.narrow_range, spec.axis)
 
 
 def _update_histogram(abs_vals, hist, bin_width):
@@ -256,46 +269,50 @@ def resolve_amax(calib_tree, quant_tree, method="entropy", **kwargs):
     """Fold calibration state into committed amax values.
 
     Walks matched 'calib'/'quant' variable trees: histogram quantizers get
-    ``compute_amax_from_hist(method)``; max-only quantizers take the running
-    absmax.  Returns a new 'quant' tree (host computation, one-shot).
+    ``compute_amax_from_hist(method)``; max-only quantizers (incl. SmoothQuant
+    per-column ``sq_act_absmax``) take the running absmax.  Returns a new
+    'quant' tree (host computation, one-shot).
     """
     flat_calib = _flatten(calib_tree)
     new_quant = jax.tree_util.tree_map(lambda x: x, quant_tree)  # copy
 
     for path, leaves in flat_calib.items():
-        if "hist" in leaves:
-            amax = compute_amax_from_hist(leaves["hist"], leaves["bin_width"],
-                                          method=method, **kwargs)
-            amax = np.float32(max(amax, float(np.asarray(leaves["absmax"])) * 1e-9))
-        else:
-            amax = np.asarray(leaves["absmax"], np.float32)
-        _set_leaf(new_quant, path, jnp.asarray(amax, jnp.float32).reshape(
-            np.shape(_get_leaf(quant_tree, path))))
+        for name, value in leaves.items():
+            if name in ("hist", "bin_width"):
+                continue
+            target = name.replace("absmax", "amax")
+            if name == "absmax" and "hist" in leaves:
+                amax = compute_amax_from_hist(
+                    leaves["hist"], leaves["bin_width"], method=method, **kwargs)
+                amax_arr = np.asarray(amax, np.float32)
+            else:
+                amax_arr = np.asarray(value, np.float32)
+            old = _get_leaf(new_quant, path, target)
+            _set_leaf(new_quant, path, target,
+                      jnp.asarray(amax_arr, jnp.float32).reshape(np.shape(old)))
     return new_quant
 
 
 def _flatten(tree, prefix=()):
-    """dict-of-dicts -> {module_path: {leaf_name: value}} with leaf grouping."""
+    """dict-of-dicts -> {module_path: {leaf_name: array}} leaf grouping."""
     out = {}
     for k, v in tree.items():
-        if isinstance(v, dict) and any(isinstance(x, dict) for x in v.values()):
+        if isinstance(v, dict):
             out.update(_flatten(v, prefix + (k,)))
-        elif isinstance(v, dict):
-            out[prefix + (k,)] = v
         else:
             out.setdefault(prefix, {})[k] = v
     return out
 
 
-def _get_leaf(tree, path):
+def _get_leaf(tree, path, name):
     node = tree
     for k in path:
         node = node[k]
-    return node["amax"]
+    return node[name]
 
 
-def _set_leaf(tree, path, value):
+def _set_leaf(tree, path, name, value):
     node = tree
     for k in path:
         node = node[k]
-    node["amax"] = value
+    node[name] = value

@@ -1,0 +1,187 @@
+"""Quantization-layer unit tests: quantizer math, calibrators, rules, the
+SmoothQuant migration, and fake-vs-true-int8 equivalence."""
+
+import dataclasses
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from q3d_tpu.quant.tensor_quant import (
+    QuantSpec, TensorQuantizer, fake_quant, quantize_to_int,
+    compute_amax_from_hist, _update_histogram, NUM_HIST_BINS)
+from q3d_tpu.quant.rules import QuantRules, LayerRule, SmoothQuantCfg, \
+    quant_rules_scope
+from q3d_tpu.models.layers import Conv2d
+
+
+def test_fake_quant_levels():
+    # int8 symmetric: 255 levels at scale amax/127
+    x = jnp.asarray(np.linspace(-2, 2, 1001), jnp.float32)
+    y = np.asarray(fake_quant(x, jnp.float32(1.0), 8))
+    assert y.max() <= 1.0 + 1e-6
+    assert y.min() >= -1.0 - 1e-6  # clamped to [-127, 127]/127 = [-1, 1]
+    levels = np.unique(np.round(y * 127))
+    assert len(levels) <= 255
+    # values inside range quantize to nearest step
+    np.testing.assert_allclose(y[500], 0.0, atol=1e-7)
+
+
+def test_fake_quant_per_channel():
+    x = jnp.asarray(np.stack([np.ones(8), 10 * np.ones(8)]), jnp.float32)  # (2,8)
+    amax = jnp.asarray([1.0, 10.0])
+    y = np.asarray(fake_quant(x, amax, 8, axis=0))
+    np.testing.assert_allclose(y, np.asarray(x), rtol=1e-2)
+
+
+def test_quantize_to_int_roundtrip():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(64, 32).astype(np.float32))
+    amax = jnp.max(jnp.abs(x))
+    q, scale = quantize_to_int(x, amax, 8)
+    assert q.dtype == jnp.int8
+    deq = np.asarray(q, np.float32) * np.asarray(scale)
+    np.testing.assert_allclose(deq, np.asarray(x), atol=float(amax) / 127 + 1e-6)
+
+
+def test_fake_equals_int_dequant():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(100).astype(np.float32))
+    amax = jnp.max(jnp.abs(x))
+    fq = np.asarray(fake_quant(x, amax, 8))
+    q, s = quantize_to_int(x, amax, 8)
+    np.testing.assert_allclose(fq, np.asarray(q, np.float32) * np.asarray(s),
+                               atol=1e-6)
+
+
+def test_histogram_grows_range():
+    hist = jnp.zeros(NUM_HIST_BINS)
+    width = jnp.zeros(())
+    h1, w1 = _update_histogram(jnp.abs(jnp.asarray(np.random.RandomState(0)
+                                                   .randn(1000))), hist, width)
+    assert float(w1) > 0
+    # second batch with 10x larger values forces integer rebinning
+    h2, w2 = _update_histogram(jnp.abs(10 * jnp.asarray(
+        np.random.RandomState(1).randn(1000))), h1, w1)
+    assert float(w2) > float(w1)
+    assert float(h2.sum()) == 2000
+
+
+def test_entropy_amax_reasonable():
+    # gaussian data: entropy amax should clip tails, i.e. < max, > std
+    rng = np.random.RandomState(2)
+    data = np.abs(rng.randn(200000)).astype(np.float32)
+    hist = jnp.zeros(NUM_HIST_BINS)
+    width = jnp.zeros(())
+    hist, width = _update_histogram(jnp.asarray(data), hist, width)
+    amax = compute_amax_from_hist(np.asarray(hist), float(width), "entropy",
+                                  stride=16)
+    assert 1.0 < amax <= data.max() + 2 * float(width)
+    p99 = compute_amax_from_hist(np.asarray(hist), float(width), "percentile",
+                                 percentile=99.0)
+    assert abs(p99 - np.percentile(data, 99)) < 0.1
+    mx = compute_amax_from_hist(np.asarray(hist), float(width), "max")
+    assert abs(mx - data.max()) < float(width) * 2
+
+
+def test_rules_no_list_and_kind_matching():
+    rules = QuantRules(
+        rules=(LayerRule(layer_kinds=("conv2d",)),),
+        no_list=("dense_head.heads_list_*.hm_*", "backbone_3d.conv_input*"))
+    assert rules.lookup("backbone_2d.blocks_0.conv0", "conv2d") is not None
+    assert rules.lookup("backbone_2d.blocks_0.conv0", "linear") is None
+    assert rules.lookup("dense_head.heads_list_3.hm_0", "conv2d") is None
+    assert rules.lookup("backbone_3d.conv_input.conv", "conv2d") is None
+
+
+def test_dynamic_quant_conv2d_close_to_fp():
+    """W8A8 dynamic fake quant should stay within ~2% on smooth inputs."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(1, 8, 8, 16).astype(np.float32))
+    conv = Conv2d(32, 3, 1, 1, name="c")
+    variables = conv.init(jax.random.PRNGKey(0), x)
+    fp = conv.apply(variables, x)
+    rules = QuantRules(rules=(LayerRule(layer_kinds=("conv2d",)),))
+    with quant_rules_scope(rules):
+        q = conv.apply(variables, x)
+    rel = np.abs(np.asarray(q - fp)).mean() / np.abs(np.asarray(fp)).mean()
+    assert rel < 0.02, rel
+
+
+def test_smoothquant_conv2d_close_to_fp():
+    rng = np.random.RandomState(4)
+    # outlier channels: the SmoothQuant sweet spot
+    x = rng.rand(1, 8, 8, 16).astype(np.float32)
+    x[..., 0] *= 50
+    x = jnp.asarray(x)
+    conv = Conv2d(32, 3, 1, 1, name="c")
+    variables = conv.init(jax.random.PRNGKey(0), x)
+    fp = conv.apply(variables, x)
+
+    plain = QuantRules(rules=(LayerRule(layer_kinds=("conv2d",)),))
+    sq = QuantRules(rules=(LayerRule(layer_kinds=("conv2d",),
+                                     smoothquant=SmoothQuantCfg(alpha=0.5)),))
+    with quant_rules_scope(plain):
+        q_plain = conv.apply(variables, x)
+    with quant_rules_scope(sq):
+        q_sq = conv.apply(variables, x)
+    err_plain = np.abs(np.asarray(q_plain - fp)).mean()
+    err_sq = np.abs(np.asarray(q_sq - fp)).mean()
+    # with per-tensor act scales an outlier channel hurts; SQ must help
+    assert err_sq <= err_plain * 1.05
+
+
+def test_int8_deploy_matches_fake_quant():
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(1, 8, 8, 16).astype(np.float32))
+    conv = Conv2d(24, 3, 1, 1, name="c")
+    variables = conv.init(jax.random.PRNGKey(0), x)
+    fake = QuantRules(rules=(LayerRule(layer_kinds=("conv2d",)),))
+    deploy = QuantRules(rules=(LayerRule(layer_kinds=("conv2d",),
+                                         deploy_int8=True),))
+    y_fp = conv.apply(variables, x)
+    with quant_rules_scope(fake):
+        y_fake = conv.apply(variables, x)
+    with quant_rules_scope(deploy):
+        y_int = conv.apply(variables, x)
+    # int8 deploy and fake-quant may differ by single-quantum rounding
+    # tie-breaks; they must agree closely and carry the same error vs FP
+    np.testing.assert_allclose(np.asarray(y_fake), np.asarray(y_int),
+                               atol=0.05, rtol=0.05)
+    err_fake = np.abs(np.asarray(y_fake - y_fp)).mean()
+    err_int = np.abs(np.asarray(y_int - y_fp)).mean()
+    assert err_int < max(err_fake * 1.5, 1e-3)
+
+
+def test_static_calibration_flow():
+    """collect_stats -> compute_amax -> quantized eval end-to-end on a conv."""
+    from q3d_tpu.quant.api import collect_stats, compute_amax
+
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.rand(2, 8, 8, 4).astype(np.float32))
+    rules = QuantRules(rules=(LayerRule(
+        layer_kinds=("conv2d",),
+        act=QuantSpec(8, axis=None, dynamic=False, calibrator="histogram")),))
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, batch, train=False):
+            return {"y": Conv2d(8, 3, 1, 1, name="c")(batch["x"])}
+
+    m = M()
+    with quant_rules_scope(rules):
+        variables = m.init(jax.random.PRNGKey(0), {"x": x})
+        assert "quant" in variables
+        variables = collect_stats(m, variables, rules,
+                                  [{"x": np.asarray(x)} for _ in range(5)],
+                                  num_batches=5,
+                                  loader_to_device=lambda b: {
+                                      "x": jnp.asarray(b["x"])})
+        variables = compute_amax(variables, method="percentile",
+                                 percentile=99.9)
+        amax_leaves = jax.tree_util.tree_leaves(variables["quant"])
+        assert all(float(a.max()) > 0 for a in amax_leaves)
+        y = m.apply({k: variables[k] for k in ("params", "quant")}, {"x": x})
+        assert np.isfinite(np.asarray(y["y"])).all()

@@ -1,0 +1,149 @@
+"""Sparse-conv engine vs dense convolution oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from q3d_tpu.ops.spconv import SparseConvTensor
+from q3d_tpu.ops.spconv import engine
+
+
+def _random_sparse(rng, batch, spatial, n_active, cin, capacity):
+    """Build a SparseConvTensor + its dense twin."""
+    D, H, W = spatial
+    dense = np.zeros((batch, D, H, W, cin), np.float32)
+    coords = set()
+    while len(coords) < n_active:
+        coords.add((rng.randint(batch), rng.randint(D), rng.randint(H),
+                    rng.randint(W)))
+    coords = sorted(coords)
+    feats = rng.randn(len(coords), cin).astype(np.float32)
+    idx = np.full((capacity, 4), -1, np.int32)
+    fx = np.zeros((capacity, cin), np.float32)
+    for i, (b, z, y, x) in enumerate(coords):
+        idx[i] = (b, z, y, x)
+        fx[i] = feats[i]
+        dense[b, z, y, x] = feats[i]
+    st = SparseConvTensor(features=jnp.asarray(fx), indices=jnp.asarray(idx),
+                          spatial_shape=spatial, batch_size=batch)
+    return st, dense
+
+
+def _dense_conv(dense, w_kcio, stride, padding, kernel_size):
+    """Oracle: lax.conv_general_dilated with the engine's (K, Cin, Cout) weight."""
+    kd, kh, kw = kernel_size
+    cin = dense.shape[-1]
+    cout = w_kcio.shape[-1]
+    w = np.asarray(w_kcio).reshape(kd, kh, kw, cin, cout)
+    out = jax.lax.conv_general_dilated(
+        jnp.asarray(dense), jnp.asarray(w),
+        window_strides=stride,
+        padding=[(padding[0], padding[0]), (padding[1], padding[1]),
+                 (padding[2], padding[2])],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    return np.asarray(out)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_subm_conv_matches_dense_at_active_sites(seed):
+    rng = np.random.RandomState(seed)
+    spatial, cin, cout = (5, 9, 9), 4, 6
+    st, dense = _random_sparse(rng, 2, spatial, 40, cin, capacity=64)
+    K = 27
+    w = rng.randn(K, cin, cout).astype(np.float32) * 0.1
+
+    st = st.with_hash()
+    gidx = engine.subm_gather_indices(st, 3)
+    out = np.asarray(engine.gather_conv(st.features, gidx, jnp.asarray(w)))
+
+    oracle = _dense_conv(dense, w, (1, 1, 1), (1, 1, 1), (3, 3, 3))
+    idx = np.asarray(st.indices)
+    for i in range(64):
+        b, z, y, x = idx[i]
+        if b < 0:
+            continue
+        np.testing.assert_allclose(out[i], oracle[b, z, y, x],
+                                   rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("stride,pad", [(2, 1), (2, 0), (1, 1)])
+def test_sparse_conv_downsample_matches_dense(stride, pad):
+    rng = np.random.RandomState(3)
+    spatial, cin, cout = (6, 10, 10), 3, 5
+    st, dense = _random_sparse(rng, 2, spatial, 50, cin, capacity=128)
+    K = 27
+    w = rng.randn(K, cin, cout).astype(np.float32) * 0.1
+
+    # stride-1 sparse conv dilates the active set by up to the kernel
+    # footprint; give the output enough capacity to hold every unique site
+    out_idx, gidx, out_spatial = engine.sparse_conv_downsample(
+        st, 3, stride, pad, out_capacity=2048)
+    out = np.asarray(engine.gather_conv(
+        st.features, gidx, jnp.asarray(w), out_valid=out_idx[:, 0] >= 0))
+    oracle = _dense_conv(dense, w, (stride,) * 3, (pad,) * 3, (3, 3, 3))
+    assert oracle.shape[1:4] == out_spatial
+
+    oi = np.asarray(out_idx)
+    seen = set()
+    for i in range(oi.shape[0]):
+        b, z, y, x = oi[i]
+        if b < 0:
+            continue
+        seen.add((b, z, y, x))
+        np.testing.assert_allclose(out[i], oracle[b, z, y, x],
+                                   rtol=1e-4, atol=1e-4)
+    # completeness: every nonzero oracle site must exist in the sparse output
+    nz = np.argwhere(np.abs(oracle).sum(-1) > 1e-5)
+    for b, z, y, x in nz:
+        assert (b, z, y, x) in seen, "missing active output site"
+
+
+def test_asymmetric_kernel_and_stride():
+    """The (3,1,1)/(2,1,1) z-compression conv used by conv_out."""
+    rng = np.random.RandomState(7)
+    spatial, cin, cout = (5, 6, 6), 4, 8
+    st, dense = _random_sparse(rng, 1, spatial, 30, cin, capacity=64)
+    K = 3
+    w = rng.randn(K, cin, cout).astype(np.float32) * 0.1
+    out_idx, gidx, out_spatial = engine.sparse_conv_downsample(
+        st, (3, 1, 1), (2, 1, 1), 0, out_capacity=128)
+    out = np.asarray(engine.gather_conv(
+        st.features, gidx, jnp.asarray(w), out_valid=out_idx[:, 0] >= 0))
+    oracle = np.asarray(jax.lax.conv_general_dilated(
+        jnp.asarray(dense), jnp.asarray(w).reshape(3, 1, 1, cin, cout),
+        window_strides=(2, 1, 1), padding=[(0, 0)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")))
+    assert oracle.shape[1:4] == out_spatial
+    oi = np.asarray(out_idx)
+    for i in range(oi.shape[0]):
+        b, z, y, x = oi[i]
+        if b < 0:
+            continue
+        np.testing.assert_allclose(out[i], oracle[b, z, y, x],
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_dense_roundtrip():
+    rng = np.random.RandomState(11)
+    st, dense = _random_sparse(rng, 2, (4, 5, 5), 25, 3, capacity=40)
+    np.testing.assert_allclose(np.asarray(st.dense()), dense, atol=0)
+
+
+def test_inverse_conv_restores_coords():
+    rng = np.random.RandomState(13)
+    spatial, cin = (6, 8, 8), 4
+    st, dense = _random_sparse(rng, 1, spatial, 40, cin, capacity=64)
+    out_idx, gidx, out_spatial = engine.sparse_conv_downsample(st, 3, 2, 1,
+                                                               out_capacity=256)
+    w = rng.randn(27, cin, cin).astype(np.float32) * 0.1
+    down = engine.gather_conv(st.features, gidx, jnp.asarray(w),
+                              out_valid=out_idx[:, 0] >= 0)
+    down_st = SparseConvTensor(features=down, indices=out_idx,
+                               spatial_shape=out_spatial, batch_size=1)
+    inv_gidx = engine.inverse_conv_indices(down_st, st.indices, spatial, 3, 2, 1)
+    w2 = rng.randn(27, cin, cin).astype(np.float32) * 0.1
+    up = engine.gather_conv(down, inv_gidx, jnp.asarray(w2),
+                            out_valid=st.indices[:, 0] >= 0)
+    assert up.shape == (64, cin)
+    assert np.isfinite(np.asarray(up)).all()
