@@ -40,25 +40,40 @@ def build(cfg_name, batch_size=1):
     return cfg, model, raw
 
 
-def time_mode(model, variables, batch, rules, iters, warmup=3):
+def time_mode(model, variables, batch, rules, iters, warmup=2):
+    """Trustworthy device timing under the axon tunnel: block_until_ready
+    does NOT synchronize there, so each call is data-chained to the previous
+    one (defeating reordering) and the wall clock closes with one small host
+    fetch that forces the full chain to complete."""
     import jax
+    import numpy as np
+    import jax.numpy as jnp
     from q3d_tpu.quant.rules import quant_rules_scope
 
-    def fn(variables, batch):
+    def fn(variables, batch, bump):
+        b = dict(batch)
+        b["voxels"] = b["voxels"] + bump.astype(b["voxels"].dtype)
         with quant_rules_scope(rules):
-            out = model.apply(variables, batch, train=False)
-        return out["final_boxes"], out["final_scores"]
+            out = model.apply(variables, b, train=False)
+        return out["final_scores"].sum() * 1e-12
 
     jfn = jax.jit(fn)
+    s = jnp.zeros((), jnp.float32)
     for _ in range(warmup):
-        out = jfn(variables, batch)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = jfn(variables, batch)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
-    return dt
+        s = jfn(variables, batch, s)
+    _ = float(np.asarray(s))                    # full sync, fetch path warm
+
+    def chain(k):
+        t0 = time.perf_counter()
+        acc = jnp.zeros((), jnp.float32)
+        for _ in range(k):
+            acc = jfn(variables, batch, acc)
+        _ = float(np.asarray(acc))
+        return time.perf_counter() - t0
+
+    t_short = chain(2)
+    t_long = chain(2 + iters)
+    return max(t_long - t_short, 1e-9) / iters
 
 
 def main():
@@ -80,7 +95,12 @@ def main():
     cfg, model, raw = build(cfg_name, args.batch)
 
     batch16 = load_data_to_device(raw, compute_dtype=jnp.bfloat16)
-    variables = model.init(jax.random.PRNGKey(0), batch16, train=False)
+    log("initializing params (jitted) ...")
+    t0 = time.perf_counter()
+    variables = jax.jit(
+        lambda k, b: model.init(k, b, train=False))(jax.random.PRNGKey(0), batch16)
+    jax.block_until_ready(variables)
+    log(f"init done in {time.perf_counter() - t0:.1f}s")
 
     log("timing bf16 ...")
     dt16 = time_mode(model, variables, batch16, None, args.iters)
@@ -88,7 +108,14 @@ def main():
     log(f"bf16: {dt16 * 1e3:.2f} ms/batch -> {fps16:.2f} frames/s")
 
     rules = int8_deploy_recipe()
-    qvars = quantize_model(model, variables, rules, batch16)
+    with quant_rules_scope(rules):
+        qvars = jax.jit(
+            lambda k, b: model.init(k, b, train=False))(jax.random.PRNGKey(0),
+                                                        batch16)
+    qvars = dict(qvars)
+    for coll in ("params", "batch_stats"):
+        if coll in variables:
+            qvars[coll] = variables[coll]
     log("timing int8 ...")
     dt8 = time_mode(model, qvars, batch16, rules, args.iters)
     fps8 = args.batch / dt8

@@ -25,6 +25,7 @@ def _backbone_3d_registry():
     return {
         "VoxelBackBone8x": backbones_3d.VoxelBackBone8x,
         "VoxelResBackBone8x": backbones_3d.VoxelResBackBone8x,
+        "VoxelResBackBone8xVoxelNeXt": backbones_3d.VoxelResBackBone8xVoxelNeXt,
     }
 
 
@@ -93,7 +94,11 @@ def build_dense_head(cfg, info, dataset, num_class, predict_boxes_when_training)
         grid_size=tuple(int(g) for g in dataset.grid_size),
         point_cloud_range=tuple(dataset.point_cloud_range),
         predict_boxes_when_training=predict_boxes_when_training,
-        input_channels=info.get("num_bev_features", 0),
+        # fully-sparse detectors (VoxelNeXt) feed the head straight from the
+        # 3D backbone — no BEV features exist
+        input_channels=info.get("num_bev_features",
+                                info.get("num_point_features", 0))
+        if cfg.NAME != "VoxelNeXtHead" else info["num_point_features"],
         name="dense_head",
     )
     if cfg.NAME in ("CenterHead", "VoxelNeXtHead", "TransFusionHead"):

@@ -2,12 +2,14 @@ from .detector3d_template import Detector3DTemplate, DatasetInfo  # noqa: F401
 from .pointpillar import PointPillar  # noqa: F401
 from .centerpoint import CenterPoint  # noqa: F401
 from .second_net import SECONDNet  # noqa: F401
+from .voxelnext import VoxelNeXt  # noqa: F401
 
 __all__ = {
     "Detector3DTemplate": Detector3DTemplate,
     "PointPillar": PointPillar,
     "CenterPoint": CenterPoint,
     "SECONDNet": SECONDNet,
+    "VoxelNeXt": VoxelNeXt,
 }
 
 

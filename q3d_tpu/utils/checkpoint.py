@@ -178,8 +178,9 @@ def import_torch_state_dict(state_dict, variables, strict=False, logger=None):
         mod_tokens = [t for t in mod_path if t not in ("bn",)]
         cands = _LEAF_MAP.get(leaf_name, (leaf_name,))
         found = None
-        # try progressively shorter suffixes of the module path
-        for start in range(0, len(mod_tokens)):
+        # try progressively shorter suffixes of the module path (down to the
+        # bare leaf name, where shape adaptation disambiguates)
+        for start in range(0, len(mod_tokens) + 1):
             suffix = ".".join(mod_tokens[start:])
             for cand_leaf in cands:
                 for tname, arr in torch_flat.items():
