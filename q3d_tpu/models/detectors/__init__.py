@@ -3,6 +3,7 @@ from .pointpillar import PointPillar  # noqa: F401
 from .centerpoint import CenterPoint  # noqa: F401
 from .second_net import SECONDNet  # noqa: F401
 from .voxelnext import VoxelNeXt  # noqa: F401
+from .transfusion import TransFusion  # noqa: F401
 
 __all__ = {
     "Detector3DTemplate": Detector3DTemplate,
@@ -10,6 +11,7 @@ __all__ = {
     "CenterPoint": CenterPoint,
     "SECONDNet": SECONDNet,
     "VoxelNeXt": VoxelNeXt,
+    "TransFusion": TransFusion,
 }
 
 

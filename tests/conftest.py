@@ -1,5 +1,10 @@
 """Test config: force an 8-virtual-device CPU backend so sharding/collective
-tests run without TPU hardware, and keep compiles fast & deterministic."""
+tests run without TPU hardware, and keep compiles fast & deterministic.
+
+NOTE: under the axon TPU tunnel the JAX_PLATFORMS env var alone is ignored —
+``jax.config.update('jax_platforms', ...)`` before first backend use is what
+actually pins the CPU backend.
+"""
 
 import os
 
@@ -7,6 +12,12 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# parity tests compare against torch fp32; keep MXU-style bf16 matmuls off
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
