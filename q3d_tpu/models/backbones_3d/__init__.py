@@ -1,2 +1,3 @@
 from .spconv_backbone import VoxelBackBone8x, VoxelResBackBone8x  # noqa: F401
 from .spconv_backbone_voxelnext import VoxelResBackBone8xVoxelNeXt  # noqa: F401
+from .spconv_unet import UNetV2  # noqa: F401

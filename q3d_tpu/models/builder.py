@@ -26,6 +26,7 @@ def _backbone_3d_registry():
         "VoxelBackBone8x": backbones_3d.VoxelBackBone8x,
         "VoxelResBackBone8x": backbones_3d.VoxelResBackBone8x,
         "VoxelResBackBone8xVoxelNeXt": backbones_3d.VoxelResBackBone8xVoxelNeXt,
+        "UNetV2": backbones_3d.UNetV2,
     }
 
 

@@ -165,7 +165,7 @@ def inverse_conv_indices(st: SparseConvTensor, target_indices, target_spatial,
 
 
 def gather_conv(features, gather_idx, weight, out_valid=None, out_scale=None,
-                preferred_dtype=jnp.float32):
+                preferred_dtype=jnp.float32, gemm_transform=None):
     """Execute the conv: features (N, Cin), gather_idx (M, K),
     weight (K, Cin, Cout) -> (M, Cout).
 
@@ -174,6 +174,11 @@ def gather_conv(features, gather_idx, weight, out_valid=None, out_scale=None,
     rescale by ``out_scale`` (the dequantization factors) — the deployment
     path of the reference's QConvNd (quant/quant.py:6-58) with no
     fake-quant round trip.
+
+    ``gemm_transform(g, w2d) -> (g, w2d)`` hooks per-COLUMN transformations
+    on the im2col view — the sparse-conv gather matrix is exactly the unfold
+    the reference's SQSubM2d densifies to build (quant/SQSubM2d.py:7-92), so
+    SmoothQuant scale migration plugs in here with zero densification.
     """
     N, cin = features.shape
     K = gather_idx.shape[1]
@@ -181,6 +186,8 @@ def gather_conv(features, gather_idx, weight, out_valid=None, out_scale=None,
         [features, jnp.zeros((1, cin), features.dtype)], axis=0)
     g = feats_pad[gather_idx.reshape(-1)].reshape(-1, K * cin)     # (M, K*Cin)
     w2d = weight.reshape(K * cin, -1)
+    if gemm_transform is not None:
+        g, w2d = gemm_transform(g, w2d)
     if features.dtype == jnp.int8:
         out = jnp.dot(g, w2d, preferred_element_type=jnp.int32)
         out = out.astype(jnp.float32)

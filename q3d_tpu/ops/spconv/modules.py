@@ -69,12 +69,48 @@ class _SparseConvBase(nn.Module):
         return w, b
 
     def _quantize(self, features, weight, valid):
-        """-> (features, weight, out_scale|None); int8 dtypes when deploying."""
+        """-> (features, weight, out_scale|None, gemm_transform|None).
+
+        Plain QConvNd path fake-quants features/weights up front;
+        SmoothQuant (SQSubM2d parity) returns a per-column transform applied
+        on the gather/im2col view inside gather_conv; int8 deploy emits int8
+        tensors + the output rescale factors.
+        """
         rules = get_active_rules()
         rule = rules.lookup(_dotted_path(self), self.KIND) if rules else None
         if rule is None:
-            return features, weight, None
+            return features, weight, None, None
         feats = features * valid[:, None]          # keep padding out of amax
+        if rule.smoothquant is not None and not rule.deploy_int8:
+            sq = rule.smoothquant
+            act_q = TensorQuantizer(rule.act, name="act_quant") \
+                if rule.act is not None else None
+            wspec = dataclasses.replace(
+                rule.weight, axis=1 if rule.weight is not None
+                and rule.weight.axis is not None else None) \
+                if rule.weight is not None else None
+            w_q = TensorQuantizer(wspec, name="weight_quant") \
+                if wspec is not None else None
+
+            def transform(g, w2d):
+                w_amax = jnp.maximum(jnp.max(jnp.abs(w2d), axis=1), 1e-5)
+                if sq.dynamic:
+                    a_amax = jax.lax.stop_gradient(jnp.maximum(
+                        jnp.max(jnp.abs(g), axis=0), 1e-5))
+                else:
+                    a_amax = w_amax  # static SQ folds offline; neutral here
+                scale = jax.lax.stop_gradient(jnp.maximum(
+                    jnp.power(a_amax, sq.alpha)
+                    / jnp.power(w_amax, 1 - sq.alpha), 1e-5))
+                g = g / scale
+                w2d = w2d * scale[:, None]
+                if act_q is not None:
+                    g = act_q(g)
+                if w_q is not None:
+                    w2d = w_q(w2d)
+                return g, w2d
+
+            return feats, weight, None, transform
         if rule.deploy_int8:
             # true-int8 path: requires per-tensor act scale so the output
             # rescale factors out of the GEMM
@@ -86,7 +122,7 @@ class _SparseConvBase(nn.Module):
                 rule.weight, axis=2 if rule.weight.axis is not None else None)
             wq, s_w = TensorQuantizer(wspec, mode="int", name="weight_quant")(weight)
             out_scale = (s_act * s_w).reshape(1, -1)      # (1, Cout)
-            return fq, wq, out_scale
+            return fq, wq, out_scale, None
         if rule.act is not None:
             feats = TensorQuantizer(rule.act, name="act_quant")(feats)
         w = weight
@@ -94,7 +130,7 @@ class _SparseConvBase(nn.Module):
             wspec = dataclasses.replace(
                 rule.weight, axis=2 if rule.weight.axis is not None else None)
             w = TensorQuantizer(wspec, name="weight_quant")(w)
-        return feats, w, None
+        return feats, w, None, None
 
 
 class _SubMConv(_SparseConvBase):
@@ -112,8 +148,9 @@ class _SubMConv(_SparseConvBase):
                 st, self.kernel_size, self.dilation)
             if rulebook_cache is not None:
                 rulebook_cache[cache_key] = gather_idx
-        feats, w, out_scale = self._quantize(st.features, w, st.valid)
-        out = engine.gather_conv(feats, gather_idx, w, out_scale=out_scale)
+        feats, w, out_scale, gt = self._quantize(st.features, w, st.valid)
+        out = engine.gather_conv(feats, gather_idx, w, out_scale=out_scale,
+                                 gemm_transform=gt)
         if b is not None:
             out = out + b
         return st.replace(features=out)
@@ -137,10 +174,10 @@ class _SparseConv(_SparseConvBase):
                 rulebook_cache[("coords_before", cache_key)] = st.indices
         else:
             out_indices, gather_idx, out_spatial = cached
-        feats, w, out_scale = self._quantize(st.features, w, st.valid)
+        feats, w, out_scale, gt = self._quantize(st.features, w, st.valid)
         out = engine.gather_conv(feats, gather_idx, w,
                                  out_valid=out_indices[:, 0] >= 0,
-                                 out_scale=out_scale)
+                                 out_scale=out_scale, gemm_transform=gt)
         if b is not None:
             out = out + b * (out_indices[:, 0] >= 0)[:, None]
         return SparseConvTensor(features=out, indices=out_indices,
@@ -183,10 +220,10 @@ class SparseInverseConv3d(_SparseConvBase):
         gather_idx = engine.inverse_conv_indices(
             st, target_indices, target_spatial, self.kernel_size,
             self.stride, self.padding)
-        feats, w, out_scale = self._quantize(st.features, w, st.valid)
+        feats, w, out_scale, gt = self._quantize(st.features, w, st.valid)
         out = engine.gather_conv(feats, gather_idx, w,
                                  out_valid=target_indices[:, 0] >= 0,
-                                 out_scale=out_scale)
+                                 out_scale=out_scale, gemm_transform=gt)
         if b is not None:
             out = out + b * (target_indices[:, 0] >= 0)[:, None]
         return SparseConvTensor(features=out, indices=target_indices,

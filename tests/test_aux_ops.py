@@ -1,0 +1,87 @@
+"""Aux kernel ops: pointnet2 primitives, bev_pool, ingroup_inds, on-device
+voxelizer — vs numpy oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from q3d_tpu.ops.pointnet2_utils import (farthest_point_sample, ball_query,
+                                         group_points, three_nn,
+                                         three_interpolate)
+from q3d_tpu.ops.bev_pool import bev_pool
+from q3d_tpu.ops.ingroup_inds import ingroup_inds
+from q3d_tpu.ops.voxelizer import voxelize_np, voxelize_jax
+
+
+def test_fps_spreads_points():
+    rng = np.random.RandomState(0)
+    xyz = jnp.asarray(rng.rand(2, 256, 3).astype(np.float32) * 10)
+    idx = farthest_point_sample(xyz, 16)
+    assert idx.shape == (2, 16)
+    for b in range(2):
+        sel = np.asarray(idx[b])
+        assert len(set(sel.tolist())) == 16  # distinct picks
+    # FPS picks should be more spread than random picks
+    pts = np.asarray(xyz[0])[np.asarray(idx[0])]
+    d_fps = np.linalg.norm(pts[:, None] - pts[None], axis=-1)
+    d_fps = d_fps[d_fps > 0].min()
+    rnd = np.asarray(xyz[0])[:16]
+    d_rnd = np.linalg.norm(rnd[:, None] - rnd[None], axis=-1)
+    d_rnd = d_rnd[d_rnd > 0].min()
+    assert d_fps >= d_rnd
+
+
+def test_ball_query_radius_and_fill():
+    xyz = jnp.asarray(np.array([[[0, 0, 0], [0.1, 0, 0], [5, 5, 5],
+                                 [0.2, 0, 0]]], np.float32))
+    centers = jnp.asarray(np.array([[[0, 0, 0]]], np.float32))
+    idx, valid = ball_query(0.5, 3, xyz, centers)
+    got = set(np.asarray(idx[0, 0]).tolist())
+    assert got == {0, 1, 3}
+    idx2, valid2 = ball_query(0.5, 8, xyz, centers)
+    arr = np.asarray(idx2[0, 0])
+    assert set(arr.tolist()) == {0, 1, 3}        # fill repeats first hit
+    assert np.asarray(valid2[0, 0]).sum() == 3
+
+
+def test_three_interpolate_exact_at_known_point():
+    known = jnp.asarray(np.array([[[0, 0, 0], [1, 0, 0], [0, 1, 0]]],
+                                 np.float32))
+    feats = jnp.asarray(np.array([[[1.0], [2.0], [3.0]]], np.float32))
+    unknown = jnp.asarray(np.array([[[0, 0, 0]]], np.float32))
+    dist, idx = three_nn(unknown, known)
+    out = three_interpolate(feats, idx, dist)
+    np.testing.assert_allclose(np.asarray(out[0, 0, 0]), 1.0, atol=1e-4)
+
+
+def test_bev_pool_sums_cells():
+    feats = jnp.asarray(np.ones((4, 2), np.float32))
+    coords = jnp.asarray(np.array([[0, 0, 0, 0], [0, 0, 0, 0],
+                                   [1, 1, 0, 0], [5, 5, 5, 5]], np.int32))
+    out = bev_pool(feats, coords, batch_size=1, D=1, H=2, W=2)
+    assert out.shape == (1, 1, 2, 2, 2)
+    np.testing.assert_allclose(np.asarray(out[0, 0, 0, 0]), [2, 2])
+    np.testing.assert_allclose(np.asarray(out[0, 0, 1, 1]), [1, 1])
+
+
+def test_ingroup_inds_appearance_order():
+    gids = jnp.asarray(np.array([3, 1, 3, 3, 1, -1, 2], np.int32))
+    out = np.asarray(ingroup_inds(gids))
+    np.testing.assert_array_equal(out, [0, 0, 1, 2, 1, -1, 0])
+
+
+def test_voxelize_jax_matches_np_aggregates():
+    rng = np.random.RandomState(1)
+    points = rng.uniform(0, 10, (2000, 4)).astype(np.float32)
+    vs = [0.5, 0.5, 10.0]
+    pr = [0, 0, -5, 10, 10, 5]
+    v_np, c_np, n_np, k = voxelize_np(points, vs, pr, 4, 512)
+    grid = np.round((np.array(pr[3:]) - np.array(pr[:3]))
+                    / np.array(vs)).astype(np.int64)
+    v_j, c_j, n_j = voxelize_jax(jnp.asarray(points),
+                                 jnp.ones(2000, bool), vs, pr, grid, 4, 512)
+    # same voxel set (order differs: np=first-seen, jax=key-sorted)
+    set_np = {tuple(c) for c in np.asarray(c_np) if c[0] >= 0}
+    set_j = {tuple(c) for c in np.asarray(c_j) if c[0] >= 0}
+    assert set_np == set_j
+    assert int(np.asarray(n_j).sum()) == int(n_np.sum())
