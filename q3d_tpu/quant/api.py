@@ -106,6 +106,55 @@ def pointpillar_recipe(w_bits=8, act_bits=8, sq=True, alpha=0.5, static=False):
     return QuantRules(rules=base.rules, no_list=no_list)
 
 
+def voxelnext_recipe(w_bits=8, act_bits=8, sq=True, alpha=0.5, static=False):
+    """quant_voxelnext.py semantics: 3D backbone QConv3d + sparse-2D convs
+    through the SQSubM2d SmoothQuant path; the sparse detection-head branch
+    convs stay FP (reference no_list :29-72)."""
+    dynamic = not static
+    calib = "histogram" if static else "max"
+    sparse3d = LayerRule(
+        layer_kinds=("subm_conv3d", "sparse_conv3d"),
+        weight=QuantSpec(w_bits, axis=0, dynamic=True),
+        act=QuantSpec(act_bits, axis=1 if sq else None, dynamic=dynamic,
+                      calibrator="max" if sq else calib),
+    )
+    sparse2d = LayerRule(
+        layer_kinds=("subm_conv2d", "sparse_conv2d"),
+        weight=QuantSpec(w_bits, axis=0, dynamic=True),
+        act=QuantSpec(act_bits, axis=None, dynamic=dynamic, calibrator=calib),
+        smoothquant=SmoothQuantCfg(alpha=alpha, dynamic=dynamic) if sq else None,
+    )
+    no_list = (
+        "backbone_3d.conv_input*",
+        "dense_head.heads_list_*",      # every sparse head conv stays FP
+    )
+    return QuantRules(rules=(sparse3d, sparse2d), no_list=no_list)
+
+
+def transfusion_recipe(w_bits=8, act_bits=8, sq=True, alpha=0.5, static=False):
+    """quant_transfusion.py semantics: backbone QConv3d + SmoothQuant over
+    Conv2d / Conv1d / Linear (the transformer decoder), excluding attention
+    out-projections and prediction-head output convs (no_list :29-38)."""
+    base = centerpoint_recipe(w_bits, act_bits, sq, alpha, static)
+    dynamic = not static
+    calib = "histogram" if static else "max"
+    linear_rule = LayerRule(
+        layer_kinds=("linear", "conv1d"),
+        weight=QuantSpec(w_bits, axis=0, dynamic=True),
+        act=QuantSpec(act_bits, axis=None, dynamic=dynamic, calibrator=calib),
+        smoothquant=SmoothQuantCfg(alpha=alpha, dynamic=dynamic) if sq else None,
+        pattern="dense_head.decoder*",
+    )
+    no_list = (
+        "backbone_3d.conv_input*",
+        "dense_head.decoder.self_attn.out_proj",
+        "dense_head.decoder.multihead_attn.out_proj",
+        "dense_head.prediction_head.*_out",
+        "dense_head.heatmap_head_out",
+    )
+    return QuantRules(rules=base.rules + (linear_rule,), no_list=no_list)
+
+
 # --------------------------------------------------------------------------
 # workflow steps
 # --------------------------------------------------------------------------

@@ -1,0 +1,96 @@
+"""Training-loop integration: optimizer builders, loss decreases, checkpoint
+save/resume round trip, data augmentor."""
+
+from pathlib import Path
+
+import jax
+import numpy as np
+import optax
+import pytest
+
+from q3d_tpu.config import cfg_from_yaml_file, EDict
+from q3d_tpu.datasets import build_dataloader
+from q3d_tpu.models import build_network, load_data_to_device
+from q3d_tpu.optimization import build_optimizer
+from q3d_tpu.parallel import make_train_step
+
+CFG_PATH = Path(__file__).resolve().parent.parent / \
+    "tools/cfgs/synthetic_models/pointpillar_tiny.yaml"
+
+
+def test_optimizer_builders():
+    cfg = EDict({"OPTIMIZER": "adam_onecycle", "LR": 0.003,
+                 "WEIGHT_DECAY": 0.01, "PCT_START": 0.4, "DIV_FACTOR": 10,
+                 "GRAD_NORM_CLIP": 10})
+    tx, sched = build_optimizer(cfg, total_steps=100)
+    assert callable(sched)
+    lrs = [float(sched(i)) for i in (0, 40, 99)]
+    assert lrs[1] == pytest.approx(0.003, rel=0.05)   # peak at PCT_START
+    assert lrs[0] < lrs[1] and lrs[2] < lrs[1]
+
+    cfg2 = EDict({"OPTIMIZER": "adam", "LR": 0.01, "WEIGHT_DECAY": 0.0,
+                  "DECAY_STEP_LIST": [10, 20], "LR_DECAY": 0.1})
+    tx2, sched2 = build_optimizer(cfg2, total_steps=30)
+    assert float(sched2(5)) == pytest.approx(0.01)
+    assert float(sched2(15)) == pytest.approx(0.001)
+    assert float(sched2(25)) == pytest.approx(0.0001)
+
+
+def test_train_step_reduces_loss():
+    cfg = cfg_from_yaml_file(str(CFG_PATH), EDict())
+    dataset, loader, _ = build_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=2, training=True)
+    model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
+                          dataset=dataset)
+    batch = load_data_to_device(next(iter(loader)))
+    batch = {k: v for k, v in batch.items()
+             if k in ("voxels", "voxel_coords", "voxel_num_points",
+                      "gt_boxes", "batch_size")}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    tx = optax.adam(3e-3)
+    opt_state = tx.init(variables["params"])
+    step = make_train_step(model, tx)
+
+    losses = []
+    for i in range(8):
+        variables, opt_state, loss, _ = step(variables, opt_state, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    # overfitting one batch must reduce the loss substantially
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from q3d_tpu.utils.checkpoint import (save_checkpoint, load_checkpoint,
+                                          find_latest_checkpoint)
+    variables = {"params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}}
+    p = save_checkpoint(tmp_path / "checkpoint_epoch_1.pkl", variables,
+                        epoch=1, it=10)
+    loaded, _, epoch, it = load_checkpoint(p, variables)
+    np.testing.assert_array_equal(np.asarray(loaded["params"]["w"]),
+                                  variables["params"]["w"])
+    assert (epoch, it) == (1, 10)
+    assert find_latest_checkpoint(tmp_path) == p
+
+
+def test_augmentor_consistency():
+    """World transforms must keep points inside their boxes."""
+    from q3d_tpu.datasets.augmentor import augmentor_utils
+    from q3d_tpu.ops.roiaware_pool3d import points_in_boxes_cpu
+    rng = np.random.RandomState(0)
+    box = np.array([[5, 3, 0, 4, 2, 2, 0.7]], np.float32)
+    # points strictly inside the box
+    local = rng.uniform(-0.45, 0.45, (50, 3)) * box[0, 3:6]
+    c, s = np.cos(0.7), np.sin(0.7)
+    pts = np.zeros((50, 4), np.float32)
+    pts[:, 0] = local[:, 0] * c - local[:, 1] * s + 5
+    pts[:, 1] = local[:, 0] * s + local[:, 1] * c + 3
+    pts[:, 2] = local[:, 2]
+
+    for fn in [lambda b, p: augmentor_utils.random_flip_along_x(b, p, force=True)[:2],
+               lambda b, p: augmentor_utils.random_flip_along_y(b, p, force=True)[:2],
+               lambda b, p: augmentor_utils.global_rotation(b, p, [0.3, 0.3])[:2],
+               lambda b, p: augmentor_utils.global_scaling(b, p, [1.1, 1.1])[:2]]:
+        b2, p2 = fn(box.copy(), pts.copy())
+        flags = points_in_boxes_cpu(p2[:, :3], b2[:, :7])
+        assert flags.sum() == 50, "augmentation broke point-box consistency"

@@ -80,7 +80,9 @@ def run(recipe_name="centerpoint"):
     else:
         recipe_fn = {"centerpoint": quant_api.centerpoint_recipe,
                      "second": quant_api.second_recipe,
-                     "pointpillar": quant_api.pointpillar_recipe}[recipe_name]
+                     "pointpillar": quant_api.pointpillar_recipe,
+                     "voxelnext": quant_api.voxelnext_recipe,
+                     "transfusion": quant_api.transfusion_recipe}[recipe_name]
         rules = recipe_fn(w_bits=args.w_bits, act_bits=args.act_bits,
                           sq=not args.no_sq, alpha=args.alpha,
                           static=args.static)
