@@ -88,4 +88,5 @@ class DynamicPillarVFE(nn.Module):
         coords = coords.at[jnp.where(new_seg, pid, P)].set(byx)[:P]
         batch_dict["pillar_features"] = pooled
         batch_dict["pillar_coords"] = coords
+        batch_dict["pillar_batch_size"] = B          # static (from shape)
         return batch_dict

@@ -17,6 +17,7 @@ def _vfe_registry():
         "MeanVFE": vfe.MeanVFE,
         "PillarVFE": vfe.PillarVFE,
         "DynamicMeanVFE": vfe.DynamicMeanVFE,
+        "DynamicPillarVFE": vfe.DynamicPillarVFE,
     }
 
 
@@ -27,6 +28,8 @@ def _backbone_3d_registry():
         "VoxelResBackBone8x": backbones_3d.VoxelResBackBone8x,
         "VoxelResBackBone8xVoxelNeXt": backbones_3d.VoxelResBackBone8xVoxelNeXt,
         "UNetV2": backbones_3d.UNetV2,
+        "PillarBackBone8x": backbones_3d.PillarBackBone8x,
+        "PillarRes18BackBone8x": backbones_3d.PillarRes18BackBone8x,
     }
 
 
@@ -59,8 +62,10 @@ def build_vfe(cfg, info, dataset):
     if cfg.NAME in ("PillarVFE", "DynamicMeanVFE", "DynamicPillarVFE"):
         kwargs.update(voxel_size=tuple(dataset.voxel_size),
                       point_cloud_range=tuple(dataset.point_cloud_range))
-    if cfg.NAME in ("DynamicMeanVFE",):
+    if cfg.NAME in ("DynamicMeanVFE", "DynamicPillarVFE"):
         kwargs.update(grid_size=tuple(int(g) for g in dataset.grid_size))
+    if cfg.NAME == "DynamicPillarVFE" and cfg.get("MAX_PILLARS", None):
+        kwargs.update(max_pillars=int(cfg.MAX_PILLARS))
     return cls(name="vfe", **kwargs)
 
 

@@ -4,6 +4,7 @@ from .centerpoint import CenterPoint  # noqa: F401
 from .second_net import SECONDNet  # noqa: F401
 from .voxelnext import VoxelNeXt  # noqa: F401
 from .transfusion import TransFusion  # noqa: F401
+from .pillarnet import PillarNet  # noqa: F401
 
 __all__ = {
     "Detector3DTemplate": Detector3DTemplate,
@@ -12,6 +13,7 @@ __all__ = {
     "SECONDNet": SECONDNet,
     "VoxelNeXt": VoxelNeXt,
     "TransFusion": TransFusion,
+    "PillarNet": PillarNet,
 }
 
 
