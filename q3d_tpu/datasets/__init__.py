@@ -29,6 +29,16 @@ def _registry():
         reg["SyntheticDataset"] = SyntheticDataset
     except ImportError:
         pass
+    for name, mod, cls in [
+            ("WaymoDataset", ".waymo.waymo_dataset", "WaymoDataset"),
+            ("ONCEDataset", ".once.once_dataset", "ONCEDataset"),
+            ("CustomDataset", ".custom.custom_dataset", "CustomDataset")]:
+        try:
+            import importlib
+            m = importlib.import_module(mod, package=__name__)
+            reg[name] = getattr(m, cls)
+        except ImportError:
+            pass
     return reg
 
 

@@ -112,6 +112,30 @@ def build_dense_head(cfg, info, dataset, num_class, predict_boxes_when_training)
     return cls(**kwargs)
 
 
+def build_point_head(cfg, info, dataset, num_class, predict_boxes_when_training):
+    from . import dense_heads
+    cls = dense_heads.__all__[cfg.NAME]
+    return cls(model_cfg=cfg,
+               num_class=num_class if not cfg.get("CLASS_AGNOSTIC", False) else 1,
+               input_channels=info.get("num_point_features", 0),
+               voxel_size=tuple(dataset.voxel_size),
+               point_cloud_range=tuple(dataset.point_cloud_range),
+               predict_boxes_when_training=predict_boxes_when_training,
+               name="point_head")
+
+
+def build_roi_head(cfg, info, dataset, num_class):
+    from . import roi_heads
+    cls = roi_heads.__all__[cfg.NAME]
+    kwargs = dict(model_cfg=cfg, input_channels=info.get("num_point_features", 0),
+                  num_class=1 if cfg.get("CLASS_AGNOSTIC", True) else num_class,
+                  name="roi_head")
+    if cfg.NAME in ("PartA2FCHead",):
+        kwargs.update(voxel_size=tuple(dataset.voxel_size),
+                      point_cloud_range=tuple(dataset.point_cloud_range))
+    return cls(**kwargs)
+
+
 def build_network(model_cfg, num_class, dataset):
     """dataset: DatasetInfo (or an object exposing the same attributes)."""
     from .detectors import __all__ as detector_registry

@@ -5,6 +5,7 @@ from .second_net import SECONDNet  # noqa: F401
 from .voxelnext import VoxelNeXt  # noqa: F401
 from .transfusion import TransFusion  # noqa: F401
 from .pillarnet import PillarNet  # noqa: F401
+from .parta2_net import PartA2Net  # noqa: F401
 
 __all__ = {
     "Detector3DTemplate": Detector3DTemplate,
@@ -14,6 +15,7 @@ __all__ = {
     "VoxelNeXt": VoxelNeXt,
     "TransFusion": TransFusion,
     "PillarNet": PillarNet,
+    "PartA2Net": PartA2Net,
 }
 
 

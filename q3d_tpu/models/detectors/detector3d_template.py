@@ -82,8 +82,42 @@ class Detector3DTemplate(nn.Module):
             modules["dense_head"] = B.build_dense_head(
                 cfg.DENSE_HEAD, info, self.dataset, self.num_class,
                 predict_boxes_when_training=cfg.get("ROI_HEAD", None) is not None)
-        # pfe / point_head / roi_head slots filled as those families land
+        if cfg.get("POINT_HEAD", None) is not None:
+            modules["point_head"] = B.build_point_head(
+                cfg.POINT_HEAD, info, self.dataset, self.num_class,
+                predict_boxes_when_training=cfg.get("ROI_HEAD", None) is not None)
+        if cfg.get("ROI_HEAD", None) is not None:
+            modules["roi_head"] = B.build_roi_head(
+                cfg.ROI_HEAD, info, self.dataset, self.num_class)
         return modules, info
+
+    # ---------------------------------------------------------- proposals
+    def proposal_layer(self, batch_dict, nms_config):
+        """First-stage proposals for two-stage detectors: per-sample NMS over
+        the dense head's decoded boxes -> fixed-size (B, R) rois
+        (reference roi_head_template.proposal_layer)."""
+        from ..model_utils import model_nms_utils
+
+        cls_preds = batch_dict["batch_cls_preds"]          # (B, Na, C)
+        box_preds = batch_dict["batch_box_preds"]
+        if not batch_dict.get("cls_preds_normalized", False):
+            cls_preds = jax.nn.sigmoid(cls_preds)
+
+        def one(scores, boxes):
+            max_scores = jnp.max(scores, axis=-1)
+            labels = jnp.argmax(scores, axis=-1) + 1
+            idx, valid = model_nms_utils.class_agnostic_nms(
+                max_scores, boxes[:, :7], nms_config)
+            return boxes[idx][:, :7], max_scores[idx], labels[idx], valid
+
+        rois, roi_scores, roi_labels, roi_valid = jax.vmap(one)(
+            cls_preds, box_preds)
+        batch_dict["rois"] = rois
+        batch_dict["roi_scores"] = roi_scores
+        batch_dict["roi_labels"] = roi_labels
+        batch_dict["roi_valid"] = roi_valid
+        batch_dict["has_class_labels"] = True
+        return batch_dict
 
     # ------------------------------------------------------------ inference
     def post_processing(self, batch_dict):
