@@ -92,6 +92,11 @@ def main():
     cfg, model, raw = build(cfg_name, args.batch)
 
     batch16 = load_data_to_device(raw, compute_dtype=jnp.bfloat16)
+    # only ship what the model consumes — stray host metadata arrays have
+    # tripped device_put on flaky tunnel states
+    batch16 = {k: v for k, v in batch16.items()
+               if k in ("voxels", "voxel_coords", "voxel_num_points",
+                        "batch_size")}
     log("initializing params (jitted) ...")
     t0 = time.perf_counter()
     variables = jax.jit(

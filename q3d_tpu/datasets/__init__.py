@@ -32,7 +32,8 @@ def _registry():
     for name, mod, cls in [
             ("WaymoDataset", ".waymo.waymo_dataset", "WaymoDataset"),
             ("ONCEDataset", ".once.once_dataset", "ONCEDataset"),
-            ("CustomDataset", ".custom.custom_dataset", "CustomDataset")]:
+            ("CustomDataset", ".custom.custom_dataset", "CustomDataset"),
+            ("LyftDataset", ".lyft.lyft_dataset", "LyftDataset")]:
         try:
             import importlib
             m = importlib.import_module(mod, package=__name__)

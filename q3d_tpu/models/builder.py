@@ -38,6 +38,8 @@ def _map_to_bev_registry():
     return {
         "HeightCompression": map_to_bev.HeightCompression,
         "PointPillarScatter": map_to_bev.PointPillarScatter,
+        "PointPillarScatter3d": map_to_bev.PointPillarScatter3d,
+        "Conv2DCollapse": map_to_bev.Conv2DCollapse,
     }
 
 
@@ -80,7 +82,7 @@ def build_backbone_3d(cfg, info, dataset):
 
 def build_map_to_bev(cfg, info, dataset):
     cls = _map_to_bev_registry()[cfg.NAME]
-    if cfg.NAME == "PointPillarScatter":
+    if cfg.NAME in ("PointPillarScatter", "PointPillarScatter3d"):
         return cls(model_cfg=cfg, grid_size=tuple(int(g) for g in dataset.grid_size),
                    name="map_to_bev_module")
     return cls(model_cfg=cfg, name="map_to_bev_module")

@@ -114,3 +114,28 @@ def decode_bbox_from_heatmap(heatmap, rot_cos, rot_sin, center, center_z, dim,
     if iou is not None:
         out["iou"] = g(iou)[:, 0]
     return out
+
+
+def circle_nms(boxes_xy, scores, min_radius, post_max_size=83):
+    """Distance-based greedy suppression (reference centernet_utils.circle_nms
+    :100, numba-cuda there; here a fixed-K fori_loop like our rotated NMS).
+
+    boxes_xy: (K, 2) centers sorted by descending score is NOT required —
+    scores are used to order internally. Returns (idx, valid).
+    """
+    K = boxes_xy.shape[0]
+    order = jnp.argsort(-scores)
+    xy = boxes_xy[order]
+    d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1)
+    thresh2 = float(min_radius) ** 2
+    idxs = jnp.arange(K)
+
+    def body(i, keep):
+        suppress = (d2[i] < thresh2) & (idxs > i) & keep[i]
+        return keep & jnp.logical_not(suppress)
+
+    keep = jax.lax.fori_loop(0, K, body, jnp.ones(K, bool))
+    kept_scores = jnp.where(keep, scores[order], -jnp.inf)
+    P = min(post_max_size, K)
+    top, pos = jax.lax.top_k(kept_scores, P)
+    return order[pos], top > -jnp.inf / 2

@@ -153,8 +153,9 @@ def boxes_aligned_iou3d(boxes_a, boxes_b):
     return overlap_3d / jnp.clip(vol_a + vol_b - overlap_3d, 1e-6, None)
 
 
-def _greedy_suppress(iou, valid, thresh):
-    """Sequential greedy NMS over a (K, K) IoU matrix; rows sorted by score."""
+def _greedy_suppress_xla(iou, valid, thresh):
+    """Sequential greedy NMS over a (K, K) IoU matrix; rows sorted by score.
+    Pure-XLA fallback (K fori_loop steps)."""
     K = iou.shape[0]
     idx = jnp.arange(K)
 
@@ -163,6 +164,12 @@ def _greedy_suppress(iou, valid, thresh):
         return keep & jnp.logical_not(suppress)
 
     return jax.lax.fori_loop(0, K, body, valid)
+
+
+def _greedy_suppress(iou, valid, thresh):
+    """Greedy NMS sweep — single Pallas kernel on TPU (see pallas_nms.py)."""
+    from .pallas_nms import greedy_suppress
+    return greedy_suppress(iou, valid, thresh)
 
 
 @partial(jax.jit, static_argnames=("thresh", "pre_maxsize", "post_maxsize", "normal"))

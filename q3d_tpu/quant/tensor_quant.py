@@ -46,6 +46,11 @@ class QuantSpec:
     dynamic: bool = True
     calibrator: str = "max"
     enabled: bool = True
+    # group quantization (reference quant/quant_conv3d.py GQConv3d:70-138):
+    # rows are split into groups of `group_size` and each group gets its own
+    # dynamic amax.  Only meaningful for dynamic per-row-group activation
+    # quantization of (N, C) sparse features.
+    group_size: Optional[int] = None
 
     @property
     def bound(self):
@@ -114,6 +119,17 @@ class TensorQuantizer(nn.Module):
             return x
 
         collecting = self.is_mutable_collection("calib")
+        if spec.group_size and spec.dynamic and not collecting:
+            g = spec.group_size
+            n = x.shape[0]
+            pad = (-n) % g
+            xp = jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+            grouped = xp.reshape((n + pad) // g, -1)
+            amax = jax.lax.stop_gradient(
+                jnp.max(jnp.abs(grouped), axis=1, keepdims=True))
+            q = fake_quant(grouped, jnp.maximum(amax, 1e-12), spec.num_bits,
+                           spec.unsigned, spec.narrow_range, axis=0)
+            return q.reshape(xp.shape)[:n]
         if spec.dynamic and not collecting:
             amax = jax.lax.stop_gradient(_reduce_amax(x, spec.axis))
             return self._emit(x, amax)

@@ -185,3 +185,30 @@ def test_static_calibration_flow():
         assert all(float(a.max()) > 0 for a in amax_leaves)
         y = m.apply({k: variables[k] for k in ("params", "quant")}, {"x": x})
         assert np.isfinite(np.asarray(y["y"])).all()
+
+
+def test_group_quantization():
+    """GQConv3d-style per-row-group dynamic quantization (reference
+    quant/quant_conv3d.py:70-138)."""
+    import flax.linen as nn
+    from q3d_tpu.quant.tensor_quant import TensorQuantizer
+
+    rng = np.random.RandomState(8)
+    x = rng.randn(130, 16).astype(np.float32)
+    x[64:128] *= 100.0  # second group has huge scale
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return TensorQuantizer(QuantSpec(8, group_size=64), name="q")(x)
+
+    m = M()
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    q = np.asarray(m.apply(v, jnp.asarray(x)))
+    assert q.shape == x.shape
+    # per-group scaling keeps the small-magnitude group precise even though
+    # the other group is 100x larger (per-tensor would destroy it)
+    rel0 = np.abs(q[:64] - x[:64]).mean() / np.abs(x[:64]).mean()
+    assert rel0 < 0.01, rel0
+    rel1 = np.abs(q[64:128] - x[64:128]).mean() / np.abs(x[64:128]).mean()
+    assert rel1 < 0.01, rel1
