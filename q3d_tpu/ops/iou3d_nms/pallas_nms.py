@@ -26,10 +26,13 @@ def _nms_kernel(iou_ref, valid_ref, thresh_ref, keep_ref):
     col = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
 
     def body(i, _):
-        keep_i = pl.load(keep_ref, (0, pl.ds(i, 1)))          # (1,) current bit
+        keep_vec = keep_ref[0, :]
+        # lane-dim scalar reads must be 128-aligned on TPU; a masked reduce
+        # extracts keep[i] as a vector op instead
+        keep_i = jnp.sum(jnp.where(col[0] == i, keep_vec, 0))
         row = iou_ref[pl.ds(i, 1), :]                          # (1, K)
-        suppress = (row > thresh) & (col > i) & (keep_i[0] > 0)
-        keep_ref[0, :] = jnp.where(suppress[0], 0, keep_ref[0, :])
+        suppress = (row[0] > thresh) & (col[0] > i) & (keep_i > 0)
+        keep_ref[0, :] = jnp.where(suppress, 0, keep_vec)
         return 0
 
     jax.lax.fori_loop(0, K, body, 0)

@@ -20,6 +20,34 @@ from .utils.common_utils import AverageMeter
 from .utils import checkpoint as ckpt_utils
 
 
+def _disable_augmentation_hook(dataset, optim_cfg, epoch, total_epochs,
+                               logger=None):
+    """Late-epoch augmentation disabling (reference
+    train_utils.disable_augmentation_hook:257 driven by
+    OPTIMIZATION.LOSS_SCALE_FP16-adjacent cfg HOOK.DisableAugmentationHook)."""
+    hook_cfg = optim_cfg.get("HOOK", {}).get("DisableAugmentationHook", None) \
+        if hasattr(optim_cfg, "get") else None
+    if not hook_cfg:
+        return
+    num_last = int(hook_cfg.get("NUM_LAST_EPOCHS", 5))
+    if epoch < total_epochs - num_last:
+        return
+    augmentor = getattr(dataset, "data_augmentor", None)
+    if augmentor is None or not augmentor.data_augmentor_queue:
+        return
+    from .config import EDict
+    cfg = EDict({"DISABLE_AUG_LIST": list(hook_cfg.get(
+        "DISABLE_AUG_LIST", ["gt_sampling"])),
+        "AUG_CONFIG_LIST": [c for c in (
+            augmentor.augmentor_configs.AUG_CONFIG_LIST
+            if not isinstance(augmentor.augmentor_configs, list)
+            else augmentor.augmentor_configs)]})
+    augmentor.disable_augmentation(cfg)
+    if logger:
+        logger.info(f"epoch {epoch}: disabled augmentations "
+                    f"{cfg.DISABLE_AUG_LIST}")
+
+
 def train_model(model, variables, optim_cfg, train_loader, ckpt_dir,
                 total_epochs, mesh=None, logger=None, tb_log=None,
                 ckpt_save_interval=1, max_ckpt_save_num=30,
@@ -51,6 +79,8 @@ def train_model(model, variables, optim_cfg, train_loader, ckpt_dir,
     data_meter, batch_meter = AverageMeter(), AverageMeter()
     for epoch in range(start_epoch, total_epochs):
         train_loader.set_epoch(epoch)
+        _disable_augmentation_hook(train_loader.dataset, optim_cfg, epoch,
+                                   total_epochs, logger)
         end = time.time()
         for raw in train_loader:
             batch = (shard_batch(raw, mesh) if mesh is not None
