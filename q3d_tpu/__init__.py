@@ -21,6 +21,15 @@ Layer map (mirrors SURVEY.md §1, re-architected TPU-first):
 
 __version__ = "0.1.0"
 
+# Under the axon TPU tunnel, JAX_PLATFORMS env alone is ignored; honor an
+# explicit Q3D_PLATFORM pin via jax.config (must run before backend init).
+import os as _os  # noqa: E402
+
+if _os.environ.get("Q3D_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["Q3D_PLATFORM"])
+
 # flax converts dict-valued module fields (our EDict configs) to FrozenDict;
 # give FrozenDict the same attribute-style access so cfg.MODEL.VFE works
 # inside modules.  UPPERCASE config keys cannot collide with its methods.

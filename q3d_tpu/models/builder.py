@@ -30,6 +30,7 @@ def _backbone_3d_registry():
         "UNetV2": backbones_3d.UNetV2,
         "PillarBackBone8x": backbones_3d.PillarBackBone8x,
         "PillarRes18BackBone8x": backbones_3d.PillarRes18BackBone8x,
+        "DSVT": backbones_3d.DSVT,
     }
 
 

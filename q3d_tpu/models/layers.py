@@ -252,6 +252,36 @@ class Conv1d(nn.Module):
                 if self.use_bias else None)
         rule = _lookup_rule(self, "conv1d")
         k = kernel
+        if rule is not None and rule.smoothquant is not None:
+            # SQConv1d (reference smoothquant.py:102-176): unfold over W ->
+            # per-column alpha migration -> quantize -> GEMM
+            sq = rule.smoothquant
+            B, L, _ = x.shape
+            kw = self.kernel_size
+            patches = jax.lax.conv_general_dilated_patches(
+                x[:, :, None, :], (kw, 1), (self.stride, 1),
+                [(self.padding, self.padding), (0, 0)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))[:, :, 0, :]
+            w2d = kernel.transpose(1, 0, 2).reshape(cin * kw, self.features)
+            w_amax = jnp.maximum(jnp.max(jnp.abs(w2d), axis=1), 1e-5)
+            a_amax = jax.lax.stop_gradient(jnp.maximum(
+                jnp.max(jnp.abs(patches), axis=(0, 1)), 1e-5))
+            scale = jax.lax.stop_gradient(jnp.maximum(
+                jnp.power(a_amax, sq.alpha) / jnp.power(w_amax, 1 - sq.alpha),
+                1e-5))
+            patches = patches / scale
+            w2d = w2d * scale[:, None]
+            if rule.act is not None:
+                patches = TensorQuantizer(rule.act, name="act_quant")(patches)
+            if rule.weight is not None:
+                wspec = dataclasses.replace(
+                    rule.weight, axis=1 if rule.weight.axis is not None else None)
+                w2d = TensorQuantizer(wspec, name="weight_quant")(w2d)
+            y = jnp.einsum("blk,ko->blo", patches, w2d.astype(patches.dtype),
+                           preferred_element_type=jnp.float32).astype(x.dtype)
+            if bias is not None:
+                y = y + bias
+            return y
         if rule is not None:
             if rule.weight is not None:
                 wspec = dataclasses.replace(

@@ -24,6 +24,11 @@ def parse_config():
     parser.add_argument("--quant", choices=["none", "fake", "int8"],
                         default="none")
     parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--eval_all", action="store_true",
+                        help="watch --ckpt_dir and evaluate checkpoints as "
+                             "they appear (reference repeat_eval_ckpt)")
+    parser.add_argument("--ckpt_dir", type=str, default=None)
+    parser.add_argument("--max_waiting_mins", type=int, default=30)
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=...)
     args = parser.parse_args()
 
@@ -74,12 +79,41 @@ def main():
     elif args.quant == "int8":
         rules = int8_deploy_recipe()
 
-    ret = eval_one_epoch(
-        model, variables, test_loader, test_set, cfg.CLASS_NAMES, cfg,
-        rules=rules, logger=logger, result_dir=output_dir,
-        save_to_file=args.save_to_file, infer_time=args.infer_time,
-        compute_dtype=jnp.bfloat16 if args.bf16 else None)
-    logger.info(f"eval result: {ret}")
+    def run_eval(vars_, tag="default"):
+        ret = eval_one_epoch(
+            model, vars_, test_loader, test_set, cfg.CLASS_NAMES, cfg,
+            rules=rules, logger=logger, result_dir=output_dir / tag,
+            save_to_file=args.save_to_file, infer_time=args.infer_time,
+            compute_dtype=jnp.bfloat16 if args.bf16 else None)
+        logger.info(f"eval result [{tag}]: {ret}")
+        return ret
+
+    if not args.eval_all:
+        run_eval(variables)
+        return
+
+    # checkpoint-watcher mode (reference tools/test.py repeat_eval_ckpt:89):
+    # poll ckpt_dir, evaluate each new epoch checkpoint, stop after
+    # max_waiting_mins of silence
+    import time
+    ckpt_dir = Path(args.ckpt_dir or (output_dir.parent / "ckpt"))
+    evaluated = set()
+    idle_start = time.time()
+    while True:
+        ckpts = sorted(ckpt_dir.glob("checkpoint_epoch_*.pkl"),
+                       key=lambda p: p.stat().st_mtime)
+        fresh = [c for c in ckpts if c.name not in evaluated]
+        if fresh:
+            idle_start = time.time()
+            for c in fresh:
+                variables, _, epoch, _ = load_checkpoint(str(c), variables)
+                run_eval(variables, tag=f"epoch_{epoch}")
+                evaluated.add(c.name)
+        elif (time.time() - idle_start) / 60 > args.max_waiting_mins:
+            logger.info("watcher timeout; exiting")
+            break
+        else:
+            time.sleep(30)
 
 
 if __name__ == "__main__":
