@@ -115,6 +115,16 @@ def build_dense_head(cfg, info, dataset, num_class, predict_boxes_when_training)
     return cls(**kwargs)
 
 
+def build_pfe(cfg, info, dataset):
+    from .backbones_3d.pfe.voxel_set_abstraction import VoxelSetAbstraction
+    return VoxelSetAbstraction(
+        model_cfg=cfg, voxel_size=tuple(dataset.voxel_size),
+        point_cloud_range=tuple(dataset.point_cloud_range),
+        num_bev_features=info.get("num_bev_features", 256),
+        num_rawpoint_features=info["num_rawpoint_features"],
+        name="pfe")
+
+
 def build_point_head(cfg, info, dataset, num_class, predict_boxes_when_training):
     from . import dense_heads
     cls = dense_heads.__all__[cfg.NAME]

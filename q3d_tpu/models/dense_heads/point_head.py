@@ -41,7 +41,11 @@ class PointHeadTemplate(nn.Module):
     predict_boxes_when_training: bool = False
 
     def _point_xyz(self, batch_dict):
-        coords = batch_dict["point_coords"]              # (N, 4) bzyx
+        coords = batch_dict["point_coords"]
+        # UNet emits integer (b, z, y, x) voxel indices; VSA emits float
+        # (b, x, y, z) world coords (reference convention)
+        if jnp.issubdtype(coords.dtype, jnp.floating):
+            return coords[:, 1:4], coords[:, 0].astype(jnp.int32)
         xyz = common_utils.get_voxel_centers(
             coords[:, 1:], 1, self.voxel_size, self.point_cloud_range)
         return xyz, coords[:, 0]

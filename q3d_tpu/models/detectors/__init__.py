@@ -6,6 +6,7 @@ from .voxelnext import VoxelNeXt  # noqa: F401
 from .transfusion import TransFusion  # noqa: F401
 from .pillarnet import PillarNet  # noqa: F401
 from .parta2_net import PartA2Net  # noqa: F401
+from .pv_rcnn import PVRCNN  # noqa: F401
 
 __all__ = {
     "Detector3DTemplate": Detector3DTemplate,
@@ -16,6 +17,7 @@ __all__ = {
     "TransFusion": TransFusion,
     "PillarNet": PillarNet,
     "PartA2Net": PartA2Net,
+    "PVRCNN": PVRCNN,
 }
 
 

@@ -78,6 +78,10 @@ class Detector3DTemplate(nn.Module):
                                       info.get("num_bev_features", 0))
             info["num_bev_features"] = b2d.num_bev_features
             modules["backbone_2d"] = b2d
+        if cfg.get("PFE", None) is not None:
+            pfe = B.build_pfe(cfg.PFE, info, self.dataset)
+            info["num_point_features"] = pfe.num_point_features
+            modules["pfe"] = pfe
         if cfg.get("DENSE_HEAD", None) is not None:
             modules["dense_head"] = B.build_dense_head(
                 cfg.DENSE_HEAD, info, self.dataset, self.num_class,
