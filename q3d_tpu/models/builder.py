@@ -31,6 +31,7 @@ def _backbone_3d_registry():
         "PillarBackBone8x": backbones_3d.PillarBackBone8x,
         "PillarRes18BackBone8x": backbones_3d.PillarRes18BackBone8x,
         "DSVT": backbones_3d.DSVT,
+        "PointNet2MSG": backbones_3d.PointNet2MSG,
     }
 
 
@@ -143,7 +144,7 @@ def build_roi_head(cfg, info, dataset, num_class):
     kwargs = dict(model_cfg=cfg, input_channels=info.get("num_point_features", 0),
                   num_class=1 if cfg.get("CLASS_AGNOSTIC", True) else num_class,
                   name="roi_head")
-    if cfg.NAME in ("PartA2FCHead",):
+    if cfg.NAME in ("PartA2FCHead", "VoxelRCNNHead"):
         kwargs.update(voxel_size=tuple(dataset.voxel_size),
                       point_cloud_range=tuple(dataset.point_cloud_range))
     return cls(**kwargs)

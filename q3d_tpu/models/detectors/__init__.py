@@ -7,6 +7,8 @@ from .transfusion import TransFusion  # noqa: F401
 from .pillarnet import PillarNet  # noqa: F401
 from .parta2_net import PartA2Net  # noqa: F401
 from .pv_rcnn import PVRCNN  # noqa: F401
+from .point_rcnn import PointRCNN  # noqa: F401
+from .voxel_rcnn import VoxelRCNN  # noqa: F401
 
 __all__ = {
     "Detector3DTemplate": Detector3DTemplate,
@@ -18,6 +20,8 @@ __all__ = {
     "PillarNet": PillarNet,
     "PartA2Net": PartA2Net,
     "PVRCNN": PVRCNN,
+    "PointRCNN": PointRCNN,
+    "VoxelRCNN": VoxelRCNN,
 }
 
 
