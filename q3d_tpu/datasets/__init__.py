@@ -33,7 +33,9 @@ def _registry():
             ("WaymoDataset", ".waymo.waymo_dataset", "WaymoDataset"),
             ("ONCEDataset", ".once.once_dataset", "ONCEDataset"),
             ("CustomDataset", ".custom.custom_dataset", "CustomDataset"),
-            ("LyftDataset", ".lyft.lyft_dataset", "LyftDataset")]:
+            ("LyftDataset", ".lyft.lyft_dataset", "LyftDataset"),
+            ("Argo2Dataset", ".argo2.argo2_dataset", "Argo2Dataset"),
+            ("PandasetDataset", ".pandaset.pandaset_dataset", "PandasetDataset")]:
         try:
             import importlib
             m = importlib.import_module(mod, package=__name__)

@@ -144,7 +144,7 @@ def build_roi_head(cfg, info, dataset, num_class):
     kwargs = dict(model_cfg=cfg, input_channels=info.get("num_point_features", 0),
                   num_class=1 if cfg.get("CLASS_AGNOSTIC", True) else num_class,
                   name="roi_head")
-    if cfg.NAME in ("PartA2FCHead", "VoxelRCNNHead"):
+    if cfg.NAME in ("PartA2FCHead", "VoxelRCNNHead", "SECONDHead"):
         kwargs.update(voxel_size=tuple(dataset.voxel_size),
                       point_cloud_range=tuple(dataset.point_cloud_range))
     return cls(**kwargs)

@@ -9,6 +9,7 @@ from .parta2_net import PartA2Net  # noqa: F401
 from .pv_rcnn import PVRCNN  # noqa: F401
 from .point_rcnn import PointRCNN  # noqa: F401
 from .voxel_rcnn import VoxelRCNN  # noqa: F401
+from .second_net_iou import SECONDNetIoU  # noqa: F401
 
 __all__ = {
     "Detector3DTemplate": Detector3DTemplate,
@@ -22,6 +23,7 @@ __all__ = {
     "PVRCNN": PVRCNN,
     "PointRCNN": PointRCNN,
     "VoxelRCNN": VoxelRCNN,
+    "SECONDNetIoU": SECONDNetIoU,
 }
 
 

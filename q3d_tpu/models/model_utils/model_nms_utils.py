@@ -5,6 +5,7 @@ the rotated or axis-aligned kernel.  Everything returns fixed-size
 (indices, valid) pairs so detector post-processing stays inside one jit.
 """
 
+import jax
 import jax.numpy as jnp
 
 from ...ops.iou3d_nms import nms_bev, nms_normal_bev
@@ -53,3 +54,42 @@ def multi_classes_nms(cls_scores, box_preds, nms_config, score_thresh=None,
         valids.append(val)
         scores.append(s[idx])
     return jnp.stack(idxs), jnp.stack(valids), jnp.stack(scores)
+
+
+def class_specific_nms(box_scores, box_preds, box_labels, nms_config,
+                       score_thresh=None, box_valid=None):
+    """Per-class NMS with per-class thresholds (reference
+    class_specific_nms:69).  box_labels: (N,) 1-based predicted classes.
+    Returns fixed-size (idx, valid) over the union, score-ordered."""
+    num_class = len(nms_config.NMS_THRESH) if isinstance(
+        nms_config.NMS_THRESH, (list, tuple)) else 0
+    base_valid = jnp.ones(box_scores.shape, bool) if box_valid is None \
+        else box_valid
+    if score_thresh is not None:
+        thr = score_thresh
+        if isinstance(thr, (list, tuple)):
+            thr_arr = jnp.asarray(list(thr))[box_labels - 1]
+        else:
+            thr_arr = thr
+        base_valid = base_valid & (box_scores >= thr_arr)
+
+    all_scores = []
+    all_idx = []
+    all_valid = []
+    classes = range(1, (num_class or int(nms_config.get("NUM_CLASSES", 3))) + 1)
+    for k in classes:
+        thresh = nms_config.NMS_THRESH[k - 1] if num_class \
+            else nms_config.NMS_THRESH
+        v = base_valid & (box_labels == k)
+        idx, val = nms_bev(box_preds, box_scores, thresh=float(thresh),
+                           pre_maxsize=int(nms_config.NMS_PRE_MAXSIZE),
+                           post_maxsize=int(nms_config.NMS_POST_MAXSIZE),
+                           score_valid=v)
+        all_idx.append(idx)
+        all_valid.append(val)
+        all_scores.append(jnp.where(val, box_scores[idx], -1.0))
+    scores = jnp.concatenate(all_scores)
+    idxs = jnp.concatenate(all_idx)
+    post = int(nms_config.NMS_POST_MAXSIZE)
+    top_s, pos = jax.lax.top_k(scores, post)
+    return idxs[pos], top_s > 0

@@ -3,6 +3,7 @@ from .parta2_head import PartA2FCHead  # noqa: F401
 from .pvrcnn_head import PVRCNNHead  # noqa: F401
 from .pointrcnn_head import PointRCNNHead  # noqa: F401
 from .voxelrcnn_head import VoxelRCNNHead  # noqa: F401
+from .second_head import SECONDHead  # noqa: F401
 
 __all__ = {
     "RoIHeadTemplate": RoIHeadTemplate,
@@ -10,4 +11,5 @@ __all__ = {
     "PVRCNNHead": PVRCNNHead,
     "PointRCNNHead": PointRCNNHead,
     "VoxelRCNNHead": VoxelRCNNHead,
+    "SECONDHead": SECONDHead,
 }
