@@ -13,11 +13,17 @@ Usage: python bench.py [--size bench|tiny] [--iters N]
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
 
 ROOT = Path(__file__).resolve().parent
+
+# persistent compile cache: the axon tunnel's remote compiler takes tens of
+# minutes per large program; cached executables make reruns near-instant
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(ROOT / ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 
 
 def log(*a):

@@ -167,7 +167,8 @@ def build_network(model_cfg, num_class, dataset):
 
 
 _DEVICE_KEYS = ("voxels", "voxel_coords", "voxel_num_points", "points",
-                "points_mask", "gt_boxes")
+                "points_mask", "gt_boxes", "camera_imgs", "camera2lidar",
+                "camera_intrinsics")
 
 
 def load_data_to_device(batch_dict, sharding=None, compute_dtype=None):

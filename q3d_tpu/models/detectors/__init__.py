@@ -10,6 +10,7 @@ from .pv_rcnn import PVRCNN  # noqa: F401
 from .point_rcnn import PointRCNN  # noqa: F401
 from .voxel_rcnn import VoxelRCNN  # noqa: F401
 from .second_net_iou import SECONDNetIoU  # noqa: F401
+from .bevfusion import BevFusion  # noqa: F401
 
 __all__ = {
     "Detector3DTemplate": Detector3DTemplate,
@@ -24,6 +25,7 @@ __all__ = {
     "PointRCNN": PointRCNN,
     "VoxelRCNN": VoxelRCNN,
     "SECONDNetIoU": SECONDNetIoU,
+    "BevFusion": BevFusion,
 }
 
 
