@@ -2,26 +2,33 @@
 
 Mirrors BASELINE.json's north-star metric (the reference claims a 35%
 inference-time reduction from hybrid PTQ on CenterPoint — README.md:15):
-we measure end-to-end jitted inference (voxel features -> sparse backbone ->
-BEV pyramid -> CenterHead decode + NMS) at the nuScenes compute envelope on
-synthetic scenes, in bf16 and in true-int8 deploy mode, and report the
-speedup ratio.  ``vs_baseline`` = ratio / 1.35 (>= 1.0 beats the target).
+end-to-end jitted inference (voxel features -> sparse backbone -> BEV
+pyramid -> CenterHead decode + NMS) at a nuScenes-like compute envelope on
+synthetic scenes, in bf16 and in true-int8 deploy mode; reports the speedup
+ratio.  ``vs_baseline`` = ratio / 1.35 (>= 1.0 beats the target).
+
+Environment hardening (the axon tunnel's remote compiler is slow and flaky
+for big programs, and a failed compile poisons the client process):
+  * persistent JAX compilation cache (reruns are near-instant);
+  * ``--segmented``: jit the model as two smaller programs (3D stage /
+    BEV+head stage) chained per iteration — smaller programs compile far
+    more reliably over the tunnel;
+  * the __main__ ladder retries size/segmentation combinations in FRESH
+    subprocesses, emitting the first successful JSON line.
 
 Prints ONE JSON line on stdout; diagnostics go to stderr.
-Usage: python bench.py [--size bench|tiny] [--iters N]
 """
 
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 from pathlib import Path
 
 ROOT = Path(__file__).resolve().parent
 
-# persistent compile cache: the axon tunnel's remote compiler takes tens of
-# minutes per large program; cached executables make reruns near-instant
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(ROOT / ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 
@@ -46,31 +53,58 @@ def build(cfg_name, batch_size=1):
     return cfg, model, raw
 
 
-def time_mode(model, variables, batch, rules, iters, warmup=2):
-    """Trustworthy device timing under the axon tunnel: block_until_ready
-    does NOT synchronize there, but the single chip executes dispatches
-    IN ORDER — so k dispatches + one host fetch of the LAST result bounds
-    all k executions.  Chain-length differencing removes the fetch/dispatch
-    overhead."""
+def _make_runner(model, rules, segmented):
+    """Returns jitted fn(variables, batch) -> scalar, possibly as a chain of
+    two smaller programs."""
     import jax
-    import numpy as np
+    import jax.numpy as jnp
     from q3d_tpu.quant.rules import quant_rules_scope
 
-    def fn(variables, batch):
-        with quant_rules_scope(rules):
-            out = model.apply(variables, batch, train=False)
-        return out["final_scores"].sum()
+    if not segmented:
+        def fn(variables, batch):
+            with quant_rules_scope(rules):
+                out = model.apply(variables, batch, train=False)
+            return out["final_scores"].sum()
+        jfn = jax.jit(fn)
+        return lambda v, b: jfn(v, b)
 
-    jfn = jax.jit(fn)
+    def fn_a(variables, batch):
+        with quant_rules_scope(rules):
+            def run(m, b):
+                b = dict(b)
+                b = m.vfe(b, False)
+                b = m.backbone_3d(b, False)
+                b = m.map_to_bev_module(b, False)
+                return b["spatial_features"]
+            return model.apply(variables, batch, method=run)
+
+    def fn_b(variables, bev):
+        with quant_rules_scope(rules):
+            def run(m, b):
+                bd = {"spatial_features": bev}
+                bd = m.backbone_2d(bd, False)
+                bd = m.dense_head(bd, False)
+                return bd["final_scores"].sum()
+            return model.apply(variables, {}, method=run)
+
+    ja, jb = jax.jit(fn_a), jax.jit(fn_b)
+    return lambda v, b: jb(v, ja(v, b))
+
+
+def time_mode(runner, variables, batch, iters, warmup=2):
+    """In-order single-chip execution: k dispatches + one host fetch bound
+    all k executions (block_until_ready does not sync under the tunnel)."""
+    import numpy as np
+
     s = None
     for _ in range(warmup):
-        s = jfn(variables, batch)
-    _ = float(np.asarray(s))                    # compile done, fetch path warm
+        s = runner(variables, batch)
+    _ = float(np.asarray(s))
 
     def run(k):
         t0 = time.perf_counter()
         for _ in range(k):
-            s = jfn(variables, batch)
+            s = runner(variables, batch)
         _ = float(np.asarray(s))
         return time.perf_counter() - t0
 
@@ -82,50 +116,47 @@ def time_mode(model, variables, batch, rules, iters, warmup=2):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="bench", choices=["bench", "tiny"])
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--segmented", action="store_true")
+    ap.add_argument("--no-ladder", action="store_true",
+                    help="run exactly this configuration, no retries")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     from q3d_tpu.models import load_data_to_device
-    from q3d_tpu.quant.api import int8_deploy_recipe, quantize_model
+    from q3d_tpu.quant.api import int8_deploy_recipe
     from q3d_tpu.quant.rules import quant_rules_scope
 
     cfg_name = ("centerpoint_bench.yaml" if args.size == "bench"
                 else "centerpoint_tiny.yaml")
-    log(f"devices: {jax.devices()}")
+    log(f"devices: {jax.devices()}  size={args.size} "
+        f"segmented={args.segmented}")
     cfg, model, raw = build(cfg_name, args.batch)
-
     batch16 = load_data_to_device(raw, compute_dtype=jnp.bfloat16)
-    # only ship what the model consumes — stray host metadata arrays have
-    # tripped device_put on flaky tunnel states
     batch16 = {k: v for k, v in batch16.items()
                if k in ("voxels", "voxel_coords", "voxel_num_points",
                         "batch_size")}
+
     log("initializing params (jitted) ...")
     t0 = time.perf_counter()
     variables = jax.jit(
-        lambda k, b: model.init(k, b, train=False))(jax.random.PRNGKey(0), batch16)
+        lambda k, b: model.init(k, b, train=False))(jax.random.PRNGKey(0),
+                                                    batch16)
     jax.block_until_ready(variables)
     log(f"init done in {time.perf_counter() - t0:.1f}s")
 
     log("timing bf16 ...")
-    dt16 = time_mode(model, variables, batch16, None, args.iters)
+    runner16 = _make_runner(model, None, args.segmented)
+    dt16 = time_mode(runner16, variables, batch16, args.iters)
     fps16 = args.batch / dt16
     log(f"bf16: {dt16 * 1e3:.2f} ms/batch -> {fps16:.2f} frames/s")
 
     rules = int8_deploy_recipe()
-    with quant_rules_scope(rules):
-        qvars = jax.jit(
-            lambda k, b: model.init(k, b, train=False))(jax.random.PRNGKey(0),
-                                                        batch16)
-    qvars = dict(qvars)
-    for coll in ("params", "batch_stats"):
-        if coll in variables:
-            qvars[coll] = variables[coll]
     log("timing int8 ...")
-    dt8 = time_mode(model, qvars, batch16, rules, args.iters)
+    runner8 = _make_runner(model, rules, args.segmented)
+    dt8 = time_mode(runner8, variables, batch16, args.iters)
     fps8 = args.batch / dt8
     log(f"int8: {dt8 * 1e3:.2f} ms/batch -> {fps8:.2f} frames/s")
 
@@ -137,15 +168,48 @@ def main():
         "unit": "x",
         "vs_baseline": round(ratio / 1.35, 4),
         "detail": {"fps_bf16": round(fps16, 3), "fps_int8": round(fps8, 3),
-                   "ms_bf16": round(dt16 * 1e3, 3), "ms_int8": round(dt8 * 1e3, 3),
-                   "batch": args.batch, "config": cfg_name},
+                   "ms_bf16": round(dt16 * 1e3, 3),
+                   "ms_int8": round(dt8 * 1e3, 3),
+                   "batch": args.batch, "config": cfg_name,
+                   "segmented": args.segmented},
     }))
 
 
+def _ladder():
+    """Try configurations in fresh subprocesses; emit first success."""
+    attempts = [
+        ["--size", "bench", "--segmented", "--iters", "10"],
+        ["--size", "tiny", "--segmented", "--iters", "20"],
+        ["--size", "tiny", "--iters", "20"],
+    ]
+    # honor explicit user flags as the first attempt
+    user = [a for a in sys.argv[1:] if a != "--no-ladder"]
+    if user:
+        attempts.insert(0, user + (["--no-ladder"] if False else []))
+    for att in attempts:
+        log(f"=== bench attempt: {att}")
+        try:
+            out = subprocess.run(
+                [sys.executable, str(ROOT / "bench.py"), "--no-ladder"] + att,
+                capture_output=True, text=True, timeout=3600, cwd=str(ROOT))
+            sys.stderr.write(out.stderr[-4000:])
+            for line in out.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    print(line)
+                    return True
+        except Exception as e:  # noqa: BLE001
+            log(f"attempt failed: {e}")
+    print(json.dumps({"metric": "centerpoint_synthetic_int8_vs_bf16_fps_ratio",
+                      "value": 0.0, "unit": "x", "vs_baseline": 0.0,
+                      "detail": {"error": "all bench attempts failed "
+                                          "(TPU tunnel compile instability)"}}))
+    return False
+
+
 if __name__ == "__main__":
-    try:
+    if "--no-ladder" in sys.argv:
+        sys.argv.remove("--no-ladder")
         main()
-    except Exception as e:  # noqa: BLE001 — driver needs ONE JSON line
-        log(f"bench failed ({type(e).__name__}: {e}); retrying at tiny size")
-        sys.argv = [sys.argv[0], "--size", "tiny", "--iters", "10"]
-        main()
+    else:
+        _ladder()

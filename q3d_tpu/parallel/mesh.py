@@ -57,20 +57,26 @@ def replicate(tree, mesh):
     return jax.device_put(tree, sharding)
 
 
-def make_train_step(model, tx, mesh=None, grad_clip=10.0):
+def make_train_step(model, tx, mesh=None, grad_clip=10.0, rules=None):
     """Build a jitted (sharded) training step.
 
     state = (variables, opt_state); batch sharded over 'data'.
     Gradient averaging across devices is performed by XLA automatically when
     the loss reduces over the sharded batch axis — the DDP allreduce
     equivalent with zero user-visible collectives.
+
+    ``rules``: active QuantRules — training under fake-quant rules IS
+    quantization-aware training (the quantizers use straight-through
+    estimators), giving the QAT capability on top of the PTQ machinery.
     """
     import optax
+    from ..quant.rules import quant_rules_scope
 
     def loss_fn(params, other_vars, batch):
-        out, mutated = model.apply(
-            {"params": params, **other_vars}, batch, train=True,
-            mutable=["batch_stats"])
+        with quant_rules_scope(rules):
+            out, mutated = model.apply(
+                {"params": params, **other_vars}, batch, train=True,
+                mutable=["batch_stats"])
         return out["loss"], (mutated, out.get("tb_dict", {}))
 
     def step(variables, opt_state, batch):

@@ -94,3 +94,30 @@ def test_augmentor_consistency():
         b2, p2 = fn(box.copy(), pts.copy())
         flags = points_in_boxes_cpu(p2[:, :3], b2[:, :7])
         assert flags.sum() == 50, "augmentation broke point-box consistency"
+
+
+def test_qat_train_step_reduces_loss():
+    """Training under fake-quant rules (QAT) must also learn (STE works)."""
+    from q3d_tpu.quant.api import pointpillar_recipe
+    from q3d_tpu.quant.rules import quant_rules_scope
+    cfg = cfg_from_yaml_file(str(CFG_PATH), EDict())
+    dataset, loader, _ = build_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=2, training=True)
+    model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
+                          dataset=dataset)
+    batch = load_data_to_device(next(iter(loader)))
+    batch = {k: v for k, v in batch.items()
+             if k in ("voxels", "voxel_coords", "voxel_num_points",
+                      "gt_boxes", "batch_size")}
+    rules = pointpillar_recipe()
+    with quant_rules_scope(rules):
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    tx = optax.adam(3e-3)
+    opt_state = tx.init(variables["params"])
+    step = make_train_step(model, tx, rules=rules)
+    losses = []
+    for _ in range(6):
+        variables, opt_state, loss, _ = step(variables, opt_state, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
