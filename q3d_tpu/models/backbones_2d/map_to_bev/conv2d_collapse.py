@@ -18,8 +18,10 @@ class Conv2DCollapse(nn.Module):
 
     @nn.compact
     def __call__(self, batch_dict, train: bool = False):
-        st = batch_dict["encoded_spconv_tensor"]
-        dense = st.dense()                               # (B, D, H, W, C)
+        if "dense_voxel_features" in batch_dict:         # CaDDN ImageVFE path
+            dense = batch_dict["dense_voxel_features"]
+        else:
+            dense = batch_dict["encoded_spconv_tensor"].dense()  # (B,D,H,W,C)
         B, D, H, W, C = dense.shape
         x = dense.transpose(0, 2, 3, 4, 1).reshape(B, H, W, C * D)
         x = Conv2d(self.num_bev_features, 1, use_bias=False, name="conv")(x)

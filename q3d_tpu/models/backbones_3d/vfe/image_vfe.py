@@ -1,0 +1,118 @@
+"""ImageVFE — monocular camera features lifted into the LiDAR voxel grid
+(CaDDN).
+
+Parity with reference ``vfe/image_vfe.py`` (+ ``image_vfe_modules/ffn``,
+``f2v``): an image conv net predicts per-pixel categorical depth
+(the FFN's depth-distribution head) and channel features; FrustumToVoxel
+samples, for every voxel center, the image feature at its projected pixel
+weighted by the depth bin its camera depth falls into.  Output is a dense
+(B, D, H, W, C) volume consumed by ``Conv2DCollapse``.
+
+Deviation: the reference's DDN is a pretrained DeepLabV3/ResNet-101; ours is
+a compact conv stack (configurable) — the lifting math is the parity point.
+"""
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...layers import Conv2d, BatchNorm, relu
+
+
+class ImageVFE(nn.Module):
+    model_cfg: Any
+    num_point_features: int
+    voxel_size: Tuple[float, float, float]
+    point_cloud_range: Tuple[float, ...]
+    grid_size: Tuple[int, int, int]
+
+    def get_output_feature_dim(self):
+        return int(self.model_cfg.get("NUM_CHANNELS", 32))
+
+    @nn.compact
+    def __call__(self, batch_dict, train: bool = False):
+        cfg = self.model_cfg
+        imgs = batch_dict["camera_imgs"]              # (B, 1, H, W, 3) or (B,H,W,3)
+        if imgs.ndim == 5:
+            imgs = imgs[:, 0]
+        ch = int(cfg.get("NUM_CHANNELS", 32))
+        d_bins = int(cfg.get("D_BINS", 48))
+        d_min, d_max = cfg.get("D_RANGE", [2.0, 46.8])[:2]
+        down = int(cfg.get("DOWNSAMPLE", 4))
+
+        x = imgs
+        for i, (c, s) in enumerate([(ch, 2), (ch, 2), (ch, 1)]):
+            x = Conv2d(c, 3, s, 1, use_bias=False, name=f"ffn_conv{i}")(x)
+            x = BatchNorm(name=f"ffn_norm{i}")(x, train)
+            x = relu(x)
+        depth_logits = Conv2d(d_bins, 1, name="depth_head")(x)
+        depth = jax.nn.softmax(depth_logits, axis=-1)   # (B, h, w, D)
+        feats = Conv2d(ch, 1, name="feat_head")(x)      # (B, h, w, C)
+
+        # voxel centers -> camera frame -> image plane
+        nx, ny, nz = (int(g) for g in self.grid_size)
+        pr = self.point_cloud_range
+        vx, vy, vz = self.voxel_size
+        xs = pr[0] + (jnp.arange(nx) + 0.5) * vx
+        ys = pr[1] + (jnp.arange(ny) + 0.5) * vy
+        zs = pr[2] + (jnp.arange(nz) + 0.5) * vz
+        gx, gy, gz = jnp.meshgrid(xs, ys, zs, indexing="ij")   # (nx,ny,nz)
+        pts = jnp.stack([gx, gy, gz, jnp.ones_like(gx)], -1)   # (nx,ny,nz,4)
+
+        lidar2cam = batch_dict.get("lidar2camera", None)
+        intrins = batch_dict["camera_intrinsics"]
+        if intrins.ndim == 4:
+            intrins = intrins[:, 0]
+        if lidar2cam is None:
+            # default KITTI-ish frame: cam x=-y_l, y=-z_l, z=x_l
+            T = jnp.asarray([[0., -1., 0., 0.],
+                             [0., 0., -1., 0.],
+                             [1., 0., 0., 0.],
+                             [0., 0., 0., 1.]])
+            B = imgs.shape[0]
+            lidar2cam = jnp.broadcast_to(T, (B, 4, 4))
+        elif lidar2cam.ndim == 4:
+            lidar2cam = lidar2cam[:, 0]
+
+        cam = jnp.einsum("bij,xyzj->bxyzi", lidar2cam, pts)[..., :3]
+        depth_cam = cam[..., 2]
+        uv = jnp.einsum("bij,bxyzj->bxyzi", intrins, cam)
+        u = uv[..., 0] / jnp.clip(uv[..., 2], 1e-3, None) / down
+        v = uv[..., 1] / jnp.clip(uv[..., 2], 1e-3, None) / down
+
+        h, w = feats.shape[1:3]
+        in_img = (u >= 0) & (u < w - 1) & (v >= 0) & (v < h - 1) \
+            & (depth_cam > d_min) & (depth_cam < d_max)
+        u_c = jnp.clip(u, 0, w - 1.001)
+        v_c = jnp.clip(v, 0, h - 1.001)
+
+        def sample(maps, uu, vv):
+            # bilinear sample maps (B,h,w,C) at float (B,...) coords
+            u0 = jnp.floor(uu).astype(jnp.int32)
+            v0 = jnp.floor(vv).astype(jnp.int32)
+            du = (uu - u0)[..., None]
+            dv = (vv - v0)[..., None]
+
+            def g(vv_, uu_):
+                return jax.vmap(lambda m, a, b: m[a, b])(maps, vv_, uu_)
+
+            return (g(v0, u0) * (1 - dv) * (1 - du)
+                    + g(v0, u0 + 1) * (1 - dv) * du
+                    + g(v0 + 1, u0) * dv * (1 - du)
+                    + g(v0 + 1, u0 + 1) * dv * du)
+
+        f_sampled = sample(feats, u_c, v_c)                 # (B,nx,ny,nz,C)
+        d_sampled = sample(depth, u_c, v_c)                 # (B,nx,ny,nz,D)
+        # depth-bin weight at the voxel's camera depth (LID binning)
+        bin_idx = jnp.clip(((depth_cam - d_min) / (d_max - d_min)
+                            * d_bins).astype(jnp.int32), 0, d_bins - 1)
+        w_depth = jnp.take_along_axis(d_sampled, bin_idx[..., None],
+                                      axis=-1)[..., 0]
+        vol = f_sampled * w_depth[..., None] * in_img[..., None]
+
+        # (B, nx, ny, nz, C) -> (B, D=nz, H=ny, W=nx, C)
+        batch_dict["dense_voxel_features"] = vol.transpose(0, 3, 2, 1, 4)
+        return batch_dict

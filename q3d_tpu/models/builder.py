@@ -18,6 +18,7 @@ def _vfe_registry():
         "PillarVFE": vfe.PillarVFE,
         "DynamicMeanVFE": vfe.DynamicMeanVFE,
         "DynamicPillarVFE": vfe.DynamicPillarVFE,
+        "ImageVFE": vfe.ImageVFE,
     }
 
 
@@ -63,10 +64,10 @@ def build_vfe(cfg, info, dataset):
     cls = _vfe_registry()[cfg.NAME]
     kwargs = dict(model_cfg=cfg,
                   num_point_features=info["num_rawpoint_features"])
-    if cfg.NAME in ("PillarVFE", "DynamicMeanVFE", "DynamicPillarVFE"):
+    if cfg.NAME in ("PillarVFE", "DynamicMeanVFE", "DynamicPillarVFE", "ImageVFE"):
         kwargs.update(voxel_size=tuple(dataset.voxel_size),
                       point_cloud_range=tuple(dataset.point_cloud_range))
-    if cfg.NAME in ("DynamicMeanVFE", "DynamicPillarVFE"):
+    if cfg.NAME in ("DynamicMeanVFE", "DynamicPillarVFE", "ImageVFE"):
         kwargs.update(grid_size=tuple(int(g) for g in dataset.grid_size))
     if cfg.NAME == "DynamicPillarVFE" and cfg.get("MAX_PILLARS", None):
         kwargs.update(max_pillars=int(cfg.MAX_PILLARS))

@@ -11,6 +11,7 @@ from .point_rcnn import PointRCNN  # noqa: F401
 from .voxel_rcnn import VoxelRCNN  # noqa: F401
 from .second_net_iou import SECONDNetIoU  # noqa: F401
 from .bevfusion import BevFusion  # noqa: F401
+from .caddn import CaDDN  # noqa: F401
 
 __all__ = {
     "Detector3DTemplate": Detector3DTemplate,
@@ -26,6 +27,7 @@ __all__ = {
     "VoxelRCNN": VoxelRCNN,
     "SECONDNetIoU": SECONDNetIoU,
     "BevFusion": BevFusion,
+    "CaDDN": CaDDN,
 }
 
 
