@@ -33,6 +33,7 @@ def _backbone_3d_registry():
         "PillarRes18BackBone8x": backbones_3d.PillarRes18BackBone8x,
         "DSVT": backbones_3d.DSVT,
         "PointNet2MSG": backbones_3d.PointNet2MSG,
+        "VoxelBackBone8xFocal": backbones_3d.VoxelBackBone8xFocal,
     }
 
 

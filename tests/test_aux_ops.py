@@ -85,3 +85,20 @@ def test_voxelize_jax_matches_np_aggregates():
     set_j = {tuple(c) for c in np.asarray(c_j) if c[0] >= 0}
     assert set_np == set_j
     assert int(np.asarray(n_j).sum()) == int(n_np.sum())
+
+
+def test_vector_pool_structure():
+    from q3d_tpu.ops.vector_pool import vector_pool
+    # one neighbor in a known octant -> only that cell carries its feature
+    xyz = jnp.asarray(np.array([[[0.4, 0.4, 0.4], [5, 5, 5]]], np.float32))
+    feats = jnp.asarray(np.array([[[1.0, 2.0], [9.0, 9.0]]], np.float32))
+    centers = jnp.asarray(np.array([[[0, 0, 0]]], np.float32))
+    out = np.asarray(vector_pool(xyz, feats, centers, radius=1.0,
+                                 nsample=4, grid=2))
+    assert out.shape == (1, 1, 8 * 2)
+    cells = out.reshape(8, 2)
+    nz = np.where(np.abs(cells).sum(1) > 0)[0]
+    assert len(nz) == 1            # single occupied cell
+    np.testing.assert_allclose(cells[nz[0]], [1.0, 2.0])
+    # (+,+,+) octant with grid=2 -> cell index (1,1,1) = 7
+    assert nz[0] == 7

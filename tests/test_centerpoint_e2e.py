@@ -47,3 +47,17 @@ def test_train_loss_finite(setup):
     out, _ = model.apply(variables, batch, train=True, mutable=["batch_stats"])
     assert np.isfinite(float(out["loss"]))
     assert float(out["loss"]) > 0
+
+
+def test_focal_backbone_swap(setup):
+    """VoxelBackBone8xFocal drop-in (importance-gated sparse convs)."""
+    cfg, dataset, loader, model, variables = setup
+    cfg2 = cfg_from_yaml_file(str(CFG_PATH), EDict())
+    cfg2.MODEL.BACKBONE_3D.NAME = "VoxelBackBone8xFocal"
+    from q3d_tpu.models import build_network as bn
+    m2 = bn(cfg2.MODEL, num_class=len(cfg2.CLASS_NAMES), dataset=dataset)
+    batch = load_data_to_device(next(iter(loader)))
+    v2 = jax.jit(lambda k, b: m2.init(k, b, train=False))(
+        jax.random.PRNGKey(0), batch)
+    out = m2.apply(v2, batch, train=False)
+    assert np.isfinite(np.asarray(out["final_boxes"])).all()
