@@ -83,12 +83,19 @@ def _make_runner(model, rules, segmented):
             def run(m, b):
                 bd = {"spatial_features": bev}
                 bd = m.backbone_2d(bd, False)
+                return bd["spatial_features_2d"]
+            return model.apply(variables, {}, method=run)
+
+    def fn_c(variables, bev2d):
+        with quant_rules_scope(rules):
+            def run(m, b):
+                bd = {"spatial_features_2d": bev2d}
                 bd = m.dense_head(bd, False)
                 return bd["final_scores"].sum()
             return model.apply(variables, {}, method=run)
 
-    ja, jb = jax.jit(fn_a), jax.jit(fn_b)
-    return lambda v, b: jb(v, ja(v, b))
+    ja, jb, jc = jax.jit(fn_a), jax.jit(fn_b), jax.jit(fn_c)
+    return lambda v, b: jc(v, jb(v, ja(v, b)))
 
 
 def time_mode(runner, variables, batch, iters, warmup=2):

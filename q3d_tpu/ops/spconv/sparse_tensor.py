@@ -15,8 +15,12 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 from flax import struct
 
-# sentinel for padding keys; real keys are < batch * prod(spatial) < 2^30
-BIG_KEY = jnp.int32(2 ** 30)
+# sentinel for padding keys; real keys are < batch * prod(spatial) < 2^30.
+# Plain python int ON PURPOSE: a module-level jnp array would be created at
+# first import, which can happen INSIDE a jit trace (flax setup() imports
+# lazily) — the "constant" would then be a leaked tracer captured as a
+# jaxpr const, breaking the C++ jit dispatch fast path on the second call.
+BIG_KEY = 2 ** 30
 
 
 def linearize(indices, spatial_shape, batch_size):
