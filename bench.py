@@ -98,9 +98,51 @@ def _make_runner(model, rules, segmented):
     return lambda v, b: jc(v, jb(v, ja(v, b)))
 
 
+def _make_loop_runner(model, rules):
+    """Jitted fn(variables, batch, k): run the FULL forward k times inside
+    ONE device program (``fori_loop`` with dynamic trip count).  Each
+    iteration's input depends on the previous output (+s*1e-30) so XLA can
+    neither CSE nor DCE the loop body.  This amortizes the tunnel's per-call
+    dispatch latency, which otherwise dominates and masks device compute."""
+    import jax
+    import jax.numpy as jnp
+    from q3d_tpu.quant.rules import quant_rules_scope
+
+    def fn(variables, batch, k):
+        def body(i, s):
+            b = dict(batch)
+            b["voxels"] = b["voxels"] + (s * 1e-30).astype(b["voxels"].dtype)
+            with quant_rules_scope(rules):
+                out = model.apply(variables, b, train=False)
+            return out["final_scores"].sum().astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    return jax.jit(fn)
+
+
+def time_loop(jfn, variables, batch, iters):
+    """Device-loop timing: T(1+iters) - T(1) cancels dispatch + fetch."""
+    import numpy as np
+
+    _ = float(np.asarray(jfn(variables, batch, 1)))      # compile + warm
+
+    def run(k):
+        t0 = time.perf_counter()
+        _ = float(np.asarray(jfn(variables, batch, k)))
+        return time.perf_counter() - t0
+
+    t_short = min(run(1), run(1))
+    t_long = run(1 + iters)
+    return max(t_long - t_short, 1e-9) / iters
+
+
 def time_mode(runner, variables, batch, iters, warmup=2):
     """In-order single-chip execution: k dispatches + one host fetch bound
-    all k executions (block_until_ready does not sync under the tunnel)."""
+    all k executions (block_until_ready does not sync under the tunnel).
+    NOTE: over the axon tunnel each dispatch is a slow RPC, so this mode
+    measures dispatch latency unless compute per call is large — prefer
+    the device-loop mode (``_make_loop_runner``/``time_loop``)."""
     import numpy as np
 
     s = None
@@ -126,6 +168,8 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--segmented", action="store_true")
+    ap.add_argument("--dispatch-timing", action="store_true",
+                    help="per-call dispatch timing instead of device loop")
     ap.add_argument("--no-ladder", action="store_true",
                     help="run exactly this configuration, no retries")
     args = ap.parse_args()
@@ -154,18 +198,22 @@ def main():
     jax.block_until_ready(variables)
     log(f"init done in {time.perf_counter() - t0:.1f}s")
 
-    log("timing bf16 ...")
-    runner16 = _make_runner(model, None, args.segmented)
-    dt16 = time_mode(runner16, variables, batch16, args.iters)
-    fps16 = args.batch / dt16
-    log(f"bf16: {dt16 * 1e3:.2f} ms/batch -> {fps16:.2f} frames/s")
+    def measure(rules, tag):
+        log(f"timing {tag} ...")
+        if args.dispatch_timing:
+            runner = _make_runner(model, rules, args.segmented)
+            dt = time_mode(runner, variables, batch16, args.iters)
+        else:
+            jfn = _make_loop_runner(model, rules)
+            dt = time_loop(jfn, variables, batch16, args.iters)
+        log(f"{tag}: {dt * 1e3:.2f} ms/batch -> {args.batch / dt:.2f} "
+            "frames/s")
+        return dt
 
-    rules = int8_deploy_recipe()
-    log("timing int8 ...")
-    runner8 = _make_runner(model, rules, args.segmented)
-    dt8 = time_mode(runner8, variables, batch16, args.iters)
+    dt16 = measure(None, "bf16")
+    fps16 = args.batch / dt16
+    dt8 = measure(int8_deploy_recipe(), "int8")
     fps8 = args.batch / dt8
-    log(f"int8: {dt8 * 1e3:.2f} ms/batch -> {fps8:.2f} frames/s")
 
     ratio = fps8 / fps16
     log(f"speedup int8/bf16 = {ratio:.3f}x (target 1.35x)")
@@ -178,16 +226,19 @@ def main():
                    "ms_bf16": round(dt16 * 1e3, 3),
                    "ms_int8": round(dt8 * 1e3, 3),
                    "batch": args.batch, "config": cfg_name,
-                   "segmented": args.segmented},
+                   "segmented": args.segmented,
+                   "timing": "dispatch" if args.dispatch_timing
+                             else "device_loop"},
     }))
 
 
 def _ladder():
     """Try configurations in fresh subprocesses; emit first success."""
     attempts = [
-        ["--size", "bench", "--segmented", "--iters", "10"],
-        ["--size", "tiny", "--segmented", "--iters", "20"],
-        ["--size", "tiny", "--iters", "20"],
+        ["--size", "bench", "--iters", "20"],
+        ["--size", "tiny", "--iters", "50"],
+        ["--size", "tiny", "--segmented", "--dispatch-timing",
+         "--iters", "20"],
     ]
     # honor explicit user flags as the first attempt
     user = [a for a in sys.argv[1:] if a != "--no-ladder"]

@@ -1,0 +1,113 @@
+"""VectorPool aggregation + sectorized proposal-centric sampling (PV-RCNN++).
+
+Parity with reference ``ops/pointnet2/pointnet2_stack/pointnet2_modules.py``
+(``VectorPoolAggregationModuleMSG``, ``sample_points_with_roi``,
+``sector_fps`` — used by ``backbones_3d/pfe/voxel_set_abstraction.py`` when
+``SAMPLE_METHOD: SPC`` / ``SA_LAYER.*.NAME: VectorPoolAggregationModuleMSG``).
+
+TPU re-design notes:
+  * The reference's stacked-batch CUDA vector-pool kernels become the static
+    batched ``q3d_tpu.ops.vector_pool`` grid pooling (one scatter-add per
+    query, MXU-friendly MLPs on the concatenated cells).
+  * ``local_interpolation`` / ``voxel_random_choice`` neighbor strategies
+    both map to per-cell MEAN pooling here — same structured local encoding,
+    deterministic and jittable (deviation documented in docs/PARITY.md).
+  * Sectorized proposal-centric FPS: same semantics (keep points near any
+    proposal, split into azimuth sectors, FPS per sector) with static
+    capacities; empty sectors degrade to repeated points which downstream
+    ball queries treat as duplicates.
+"""
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ....ops.pointnet2_utils import farthest_point_sample
+from ....ops.vector_pool import vector_pool
+from ...layers import Linear, BatchNorm, relu
+
+
+def points_near_rois(xyz, rois, roi_valid, radius):
+    """Mask of points within ``radius`` of any roi (center distance vs half
+    box diagonal + radius — reference ``sample_points_with_roi``).
+
+    xyz: (B, N, 3); rois: (B, R, 7+); roi_valid: (B, R) -> (B, N) bool."""
+    ctr = rois[..., :3]                                        # (B,R,3)
+    half_diag = jnp.linalg.norm(rois[..., 3:6], axis=-1) / 2   # (B,R)
+    d = jnp.linalg.norm(xyz[:, :, None, :] - ctr[:, None, :, :], axis=-1)
+    near = (d <= (half_diag + radius)[:, None, :]) & roi_valid[:, None, :]
+    return near.any(-1)                                        # (B,N)
+
+
+def sectorized_proposal_centric_sampling(xyz, pmask, rois, roi_valid,
+                                         num_keypoints, num_sectors,
+                                         roi_radius):
+    """SPC keypoint sampling (reference
+    ``voxel_set_abstraction.py::sectorized_proposal_centric_sampling``):
+    restrict to points near proposals, azimuth-sector FPS.  Falls back to
+    plain masked FPS per sample when no proposal is valid (early training).
+
+    xyz: (B, N, 3) -> (B, num_keypoints, 3)."""
+    near = points_near_rois(xyz, rois, roi_valid, float(roi_radius))
+    has_roi = roi_valid.any(-1, keepdims=True)                 # (B,1)
+    base = pmask & jnp.where(has_roi, near, True)
+    sector = jnp.floor((jnp.arctan2(xyz[..., 1], xyz[..., 0]) + jnp.pi)
+                       / (2 * jnp.pi) * num_sectors).astype(jnp.int32)
+    sector = jnp.clip(sector, 0, num_sectors - 1)
+    k_per = -(-num_keypoints // num_sectors)                   # ceil
+    parts = []
+    for s in range(num_sectors):
+        sec = base & (sector == s)
+        # empty sector -> sample from the full proposal-centric set instead
+        sec = jnp.where(sec.any(-1, keepdims=True), sec, base)
+        idx = farthest_point_sample(xyz, k_per, valid=sec)
+        parts.append(jax.vmap(lambda p, i: p[i])(xyz, idx))
+    return jnp.concatenate(parts, axis=1)[:, :num_keypoints]   # (B,K,3)
+
+
+class VectorPoolAggregationMSG(nn.Module):
+    """Multi-scale-group VectorPool aggregation.
+
+    cfg keys (reference config names): NUM_GROUPS, NUM_REDUCED_CHANNELS,
+    MSG_POST_MLPS, GROUP_CFG_i {NUM_LOCAL_VOXEL, MAX_NEIGHBOR_DISTANCE,
+    NEIGHBOR_NSAMPLE, POST_MLPS}."""
+    cfg: Any
+
+    @nn.compact
+    def __call__(self, xyz, features, new_xyz, valid=None, train=False):
+        cfg = self.cfg
+        red_c = int(cfg.NUM_REDUCED_CHANNELS)
+        red = Linear(red_c, use_bias=False, name="reduce")(features)
+        B, M = new_xyz.shape[:2]
+
+        group_feats = []
+        for gi in range(int(cfg.NUM_GROUPS)):
+            g = cfg[f"GROUP_CFG_{gi}"]
+            grid = int(g.NUM_LOCAL_VOXEL[0])
+            G = grid ** 3
+            r = float(g.MAX_NEIGHBOR_DISTANCE)
+            ns = int(g.NEIGHBOR_NSAMPLE)
+            ns = 32 if ns <= 0 else ns
+            pooled, cnt = vector_pool(
+                xyz, jnp.concatenate([xyz, red], -1), new_xyz, r,
+                nsample=ns, grid=grid, valid=valid, return_counts=True)
+            pooled = pooled.reshape(B, M, G, 3 + red_c)
+            rel = pooled[..., :3] - new_xyz[:, :, None, :]
+            x = jnp.concatenate([rel, pooled[..., 3:]], -1)
+            x = jnp.where((cnt > 0)[..., None], x, 0.0).reshape(B, M, -1)
+            for i, c in enumerate(g.POST_MLPS):
+                x = Linear(c, use_bias=False, name=f"g{gi}_mlp{i}")(x)
+                x = BatchNorm(name=f"g{gi}_norm{i}")(
+                    x.reshape(B * M, c), train).reshape(B, M, c)
+                x = relu(x)
+            group_feats.append(x)
+
+        out = jnp.concatenate(group_feats, -1)
+        for i, c in enumerate(cfg.MSG_POST_MLPS):
+            out = Linear(c, use_bias=False, name=f"msg_mlp{i}")(out)
+            out = BatchNorm(name=f"msg_norm{i}")(
+                out.reshape(B * M, c), train).reshape(B, M, c)
+            out = relu(out)
+        return out                                             # (B, M, C)

@@ -52,10 +52,38 @@ class VoxelSetAbstraction(nn.Module):
     def num_point_features(self):
         return int(self.model_cfg.NUM_OUTPUT_FEATURES)
 
-    def _sample_keypoints(self, points, mask):
+    def _sample_keypoints(self, points, mask, batch_dict):
         n_kp = int(self.model_cfg.NUM_KEYPOINTS)
+        if (self.model_cfg.get("SAMPLE_METHOD", "FPS") == "SPC"
+                and "rois" in batch_dict):
+            from .vector_pool_aggregation import \
+                sectorized_proposal_centric_sampling
+            spc = self.model_cfg.SPC_SAMPLING
+            roi_valid = batch_dict.get(
+                "roi_valid", batch_dict.get(
+                    "final_valid",
+                    jnp.ones(batch_dict["rois"].shape[:2], bool)))
+            return sectorized_proposal_centric_sampling(
+                points[:, :, :3], mask, batch_dict["rois"][..., :7],
+                roi_valid, n_kp, int(spc.NUM_SECTORS),
+                float(spc.SAMPLE_RADIUS_WITH_ROI))
         idx = farthest_point_sample(points[:, :, :3], n_kp, valid=mask)
         return jax.vmap(lambda p, i: p[i])(points[:, :, :3], idx)  # (B, K, 3)
+
+    def _neighbor_valid(self, sa, xyz, base_mask, batch_dict):
+        """Optionally restrict neighbors to points near proposals
+        (reference FILTER_NEIGHBOR_WITH_ROI)."""
+        if not sa.get("FILTER_NEIGHBOR_WITH_ROI", False) \
+                or "rois" not in batch_dict:
+            return base_mask
+        from .vector_pool_aggregation import points_near_rois
+        roi_valid = batch_dict.get(
+            "roi_valid", batch_dict.get(
+                "final_valid", jnp.ones(batch_dict["rois"].shape[:2], bool)))
+        near = points_near_rois(xyz, batch_dict["rois"][..., :7], roi_valid,
+                                float(sa.RADIUS_OF_NEIGHBOR_WITH_ROI))
+        has_roi = roi_valid.any(-1, keepdims=True)
+        return base_mask & jnp.where(has_roi, near, True)
 
     @nn.compact
     def __call__(self, batch_dict, train: bool = False):
@@ -63,7 +91,7 @@ class VoxelSetAbstraction(nn.Module):
         points = batch_dict["points"]               # (B, N, C)
         pmask = batch_dict["points_mask"]
         B = points.shape[0]
-        keypoints = self._sample_keypoints(points, pmask)      # (B, K, 3)
+        keypoints = self._sample_keypoints(points, pmask, batch_dict)
 
         feats = []
         sources = list(cfg.FEATURES_SOURCE)
@@ -79,18 +107,28 @@ class VoxelSetAbstraction(nn.Module):
         if "raw_points" in sources:
             sa = cfg.SA_LAYER["raw_points"]
             raw_feats = points[:, :, 3:]
-            grouped_list = []
-            for radius, nsample, mlps in zip(sa["POOL_RADIUS"], sa["NSAMPLE"],
-                                             sa["MLPS"]):
-                idx, in_mask = ball_query(float(radius), int(nsample),
-                                          points[:, :, :3], keypoints, pmask)
-                g_xyz = group_points(points[:, :, :3], idx) \
-                    - keypoints[:, :, None, :]
-                g = jnp.concatenate([g_xyz, group_points(raw_feats, idx)], -1)
-                grouped_list.append(_SAMLPBlock(
-                    tuple(mlps), name=f"sa_raw_r{str(radius).replace('.','_')}")(
-                    g, in_mask, train))
-            feats.append(jnp.concatenate(grouped_list, axis=-1))
+            if sa.get("NAME", "") == "VectorPoolAggregationModuleMSG":
+                from .vector_pool_aggregation import VectorPoolAggregationMSG
+                vmask = self._neighbor_valid(sa, points[:, :, :3], pmask,
+                                             batch_dict)
+                feats.append(VectorPoolAggregationMSG(sa, name="vp_raw")(
+                    points[:, :, :3], raw_feats, keypoints, vmask, train))
+            else:
+                grouped_list = []
+                for radius, nsample, mlps in zip(sa["POOL_RADIUS"],
+                                                 sa["NSAMPLE"], sa["MLPS"]):
+                    idx, in_mask = ball_query(float(radius), int(nsample),
+                                              points[:, :, :3], keypoints,
+                                              pmask)
+                    g_xyz = group_points(points[:, :, :3], idx) \
+                        - keypoints[:, :, None, :]
+                    g = jnp.concatenate(
+                        [g_xyz, group_points(raw_feats, idx)], -1)
+                    grouped_list.append(_SAMLPBlock(
+                        tuple(mlps),
+                        name=f"sa_raw_r{str(radius).replace('.','_')}")(
+                        g, in_mask, train))
+                feats.append(jnp.concatenate(grouped_list, axis=-1))
 
         ms = batch_dict.get("multi_scale_3d_features", {})
         for src in sources:
@@ -105,9 +143,15 @@ class VoxelSetAbstraction(nn.Module):
             sa = cfg.SA_LAYER[src]
             # split flattened voxels back per batch sample (static cap)
             cap = st.capacity // B
-            grouped_list = []
             xyz_b, feat_b, mask_b = _regroup(centers, st.features, v_b,
                                              st.valid, B, cap)
+            if sa.get("NAME", "") == "VectorPoolAggregationModuleMSG":
+                from .vector_pool_aggregation import VectorPoolAggregationMSG
+                vmask = self._neighbor_valid(sa, xyz_b, mask_b, batch_dict)
+                feats.append(VectorPoolAggregationMSG(sa, name=f"vp_{src}")(
+                    xyz_b, feat_b, keypoints, vmask, train))
+                continue
+            grouped_list = []
             for radius, nsample, mlps in zip(sa["POOL_RADIUS"], sa["NSAMPLE"],
                                              sa["MLPS"]):
                 idx, in_mask = ball_query(float(radius), int(nsample),

@@ -12,6 +12,7 @@ from .voxel_rcnn import VoxelRCNN  # noqa: F401
 from .second_net_iou import SECONDNetIoU  # noqa: F401
 from .bevfusion import BevFusion  # noqa: F401
 from .caddn import CaDDN  # noqa: F401
+from .pv_rcnn_plusplus import PVRCNNPlusPlus  # noqa: F401
 
 __all__ = {
     "Detector3DTemplate": Detector3DTemplate,
@@ -28,6 +29,7 @@ __all__ = {
     "SECONDNetIoU": SECONDNetIoU,
     "BevFusion": BevFusion,
     "CaDDN": CaDDN,
+    "PVRCNNPlusPlus": PVRCNNPlusPlus,
 }
 
 

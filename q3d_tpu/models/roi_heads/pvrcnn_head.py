@@ -56,15 +56,26 @@ class PVRCNNHead(RoIHeadTemplate):
 
         grid = roi_grid_points(rois, g)                        # (B, R*g3, 3)
         sa = cfg.ROI_GRID_POOL
-        pooled_list = []
-        for radius, nsample, mlps in zip(sa.POOL_RADIUS, sa.NSAMPLE, sa.MLPS):
-            idx, in_mask = ball_query(float(radius), int(nsample), kp, grid)
-            g_xyz = group_points(kp, idx) - grid[:, :, None, :]
-            gfe = jnp.concatenate([g_xyz, group_points(kp_feats, idx)], -1)
-            pooled_list.append(_SAMLPBlock(
-                tuple(mlps), name=f"pool_r{str(radius).replace('.','_')}")(
-                gfe, in_mask, train))
-        pooled = jnp.concatenate(pooled_list, -1)              # (B, R*g3, Cp)
+        if sa.get("NAME", "") == "VectorPoolAggregationModuleMSG":
+            # PV-RCNN++: vector-pool grid aggregation over keypoints
+            from ..backbones_3d.pfe.vector_pool_aggregation import \
+                VectorPoolAggregationMSG
+            pooled = VectorPoolAggregationMSG(sa, name="vp_grid_pool")(
+                kp, kp_feats, grid, None, train)               # (B, R*g3, C)
+        else:
+            pooled_list = []
+            for radius, nsample, mlps in zip(sa.POOL_RADIUS, sa.NSAMPLE,
+                                             sa.MLPS):
+                idx, in_mask = ball_query(float(radius), int(nsample), kp,
+                                          grid)
+                g_xyz = group_points(kp, idx) - grid[:, :, None, :]
+                gfe = jnp.concatenate(
+                    [g_xyz, group_points(kp_feats, idx)], -1)
+                pooled_list.append(_SAMLPBlock(
+                    tuple(mlps),
+                    name=f"pool_r{str(radius).replace('.','_')}")(
+                    gfe, in_mask, train))
+            pooled = jnp.concatenate(pooled_list, -1)          # (B, R*g3, Cp)
         x = pooled.reshape(B * R, -1)
 
         for i, c in enumerate(cfg.SHARED_FC):

@@ -16,11 +16,13 @@ import jax.numpy as jnp
 from .pointnet2_utils import ball_query, group_points
 
 
-@partial(jax.jit, static_argnames=("radius", "nsample", "grid"))
+@partial(jax.jit, static_argnames=("radius", "nsample", "grid",
+                                   "return_counts"))
 def vector_pool(xyz, features, new_xyz, radius, nsample=32, grid=3,
-                valid=None):
+                valid=None, return_counts=False):
     """xyz: (B, N, 3); features: (B, N, C); new_xyz: (B, M, 3)
-    -> (B, M, grid^3 * C) structured local features."""
+    -> (B, M, grid^3 * C) structured local features
+    (+ (B, M, grid^3) per-cell neighbor counts if ``return_counts``)."""
     idx, in_mask = ball_query(float(radius), int(nsample), xyz, new_xyz,
                               valid)
     rel = group_points(xyz, idx) - new_xyz[:, :, None, :]      # (B,M,S,3)
@@ -37,7 +39,10 @@ def vector_pool(xyz, features, new_xyz, radius, nsample=32, grid=3,
         # cid: (S,), gf: (S, C)
         ssum = jnp.zeros((G + 1, C), gf.dtype).at[cid].add(gf)
         cnt = jnp.zeros(G + 1, gf.dtype).at[cid].add(1.0)
-        return (ssum[:G] / jnp.clip(cnt[:G, None], 1.0, None)).reshape(-1)
+        return ((ssum[:G] / jnp.clip(cnt[:G, None], 1.0, None)).reshape(-1),
+                cnt[:G])
 
-    flat = jax.vmap(jax.vmap(pool_one))(cell_id, g_feats)      # (B,M,G*C)
+    flat, cnt = jax.vmap(jax.vmap(pool_one))(cell_id, g_feats)  # (B,M,G*C)
+    if return_counts:
+        return flat, cnt
     return flat
