@@ -28,6 +28,7 @@ class _SparseConvBNReLU(nn.Module):
     padding: Any = 0
     conv_type: str = "subm"
     indice_key: str = ""
+    out_capacity: Any = None
 
     @nn.compact
     def __call__(self, st, cache, train=False):
@@ -37,11 +38,26 @@ class _SparseConvBNReLU(nn.Module):
         elif self.conv_type == "spconv":
             st = SparseConv3d(self.out_channels, self.kernel_size, self.stride,
                               self.padding, indice_key=self.indice_key,
+                              out_capacity=self.out_capacity,
                               name="conv")(st, cache)
         else:
             raise ValueError(self.conv_type)
         st = SparseBatchNorm(name="norm")(st, train)
         return st.replace_feature(jnp.maximum(st.features, 0.0))
+
+
+def _capacity_schedule(model_cfg, input_capacity):
+    """Per-stage output voxel capacities from
+    ``BACKBONE_3D.OUT_CAPACITY_FACTORS: {x_conv2, x_conv3, x_conv4, out}``
+    (fractions of the input voxel capacity, rounded up to a multiple of 8).
+    Default: no shrinking (factor 1.0) — exact spconv semantics."""
+    fac = model_cfg.get("OUT_CAPACITY_FACTORS", None)
+    def cap(key):
+        if fac is None or key not in fac:
+            return None
+        f = float(fac[key])
+        return max(8, int(-(-input_capacity * f // 8)) * 8)
+    return {k: cap(k) for k in ("x_conv2", "x_conv3", "x_conv4", "out")}
 
 
 class SparseBasicBlock(nn.Module):
@@ -98,32 +114,36 @@ class VoxelBackBone8x(nn.Module):
     def __call__(self, batch_dict, train: bool = False):
         cache = {}
         st = _make_input_tensor(batch_dict, self.sparse_shape)
+        caps = _capacity_schedule(self.model_cfg, st.capacity)
         x = _SparseConvBNReLU(16, 3, 1, 1, "subm", "subm1",
                               name="conv_input")(st, cache, train)
         x1 = _SparseConvBNReLU(16, 3, 1, 1, "subm", "subm1",
                                name="conv1_0")(x, cache, train)
         x2 = x1
         for i, blk in enumerate([
-                _SparseConvBNReLU(32, 3, 2, 1, "spconv", "spconv2", name="conv2_0"),
+                _SparseConvBNReLU(32, 3, 2, 1, "spconv", "spconv2",
+                                  out_capacity=caps["x_conv2"], name="conv2_0"),
                 _SparseConvBNReLU(32, 3, 1, 1, "subm", "subm2", name="conv2_1"),
                 _SparseConvBNReLU(32, 3, 1, 1, "subm", "subm2", name="conv2_2")]):
             x2 = blk(x2, cache, train)
         x3 = x2
         for blk in [
-                _SparseConvBNReLU(64, 3, 2, 1, "spconv", "spconv3", name="conv3_0"),
+                _SparseConvBNReLU(64, 3, 2, 1, "spconv", "spconv3",
+                                  out_capacity=caps["x_conv3"], name="conv3_0"),
                 _SparseConvBNReLU(64, 3, 1, 1, "subm", "subm3", name="conv3_1"),
                 _SparseConvBNReLU(64, 3, 1, 1, "subm", "subm3", name="conv3_2")]:
             x3 = blk(x3, cache, train)
         x4 = x3
         for blk in [
                 _SparseConvBNReLU(64, 3, 2, (0, 1, 1), "spconv", "spconv4",
-                                  name="conv4_0"),
+                                  out_capacity=caps["x_conv4"], name="conv4_0"),
                 _SparseConvBNReLU(64, 3, 1, 1, "subm", "subm4", name="conv4_1"),
                 _SparseConvBNReLU(64, 3, 1, 1, "subm", "subm4", name="conv4_2")]:
             x4 = blk(x4, cache, train)
         last_pad = self.model_cfg.get("last_pad", 0)
         out = _SparseConvBNReLU(128, (3, 1, 1), (2, 1, 1), last_pad, "spconv",
-                                "spconv_down2", name="conv_out")(x4, cache, train)
+                                "spconv_down2", out_capacity=caps["out"],
+                                name="conv_out")(x4, cache, train)
         batch_dict["encoded_spconv_tensor"] = out
         batch_dict["encoded_spconv_tensor_stride"] = 8
         batch_dict["multi_scale_3d_features"] = {
@@ -157,29 +177,34 @@ class VoxelResBackBone8x(nn.Module):
         cache = {}
         use_bias = bool(self.model_cfg.get("USE_BIAS", False))
         st = _make_input_tensor(batch_dict, self.sparse_shape)
+        caps = _capacity_schedule(self.model_cfg, st.capacity)
         x = _SparseConvBNReLU(16, 3, 1, 1, "subm", "subm1",
                               name="conv_input")(st, cache, train)
         x1 = SparseBasicBlock(16, "res1", use_bias, name="conv1_0")(x, cache, train)
         x1 = SparseBasicBlock(16, "res1", use_bias, name="conv1_1")(x1, cache, train)
 
         x2 = _SparseConvBNReLU(32, 3, 2, 1, "spconv", "spconv2",
+                               out_capacity=caps["x_conv2"],
                                name="conv2_0")(x1, cache, train)
         x2 = SparseBasicBlock(32, "res2", use_bias, name="conv2_1")(x2, cache, train)
         x2 = SparseBasicBlock(32, "res2", use_bias, name="conv2_2")(x2, cache, train)
 
         x3 = _SparseConvBNReLU(64, 3, 2, 1, "spconv", "spconv3",
+                               out_capacity=caps["x_conv3"],
                                name="conv3_0")(x2, cache, train)
         x3 = SparseBasicBlock(64, "res3", use_bias, name="conv3_1")(x3, cache, train)
         x3 = SparseBasicBlock(64, "res3", use_bias, name="conv3_2")(x3, cache, train)
 
         x4 = _SparseConvBNReLU(128, 3, 2, (0, 1, 1), "spconv", "spconv4",
+                               out_capacity=caps["x_conv4"],
                                name="conv4_0")(x3, cache, train)
         x4 = SparseBasicBlock(128, "res4", use_bias, name="conv4_1")(x4, cache, train)
         x4 = SparseBasicBlock(128, "res4", use_bias, name="conv4_2")(x4, cache, train)
 
         last_pad = self.model_cfg.get("last_pad", 0)
         out = _SparseConvBNReLU(128, (3, 1, 1), (2, 1, 1), last_pad, "spconv",
-                                "spconv_down2", name="conv_out")(x4, cache, train)
+                                "spconv_down2", out_capacity=caps["out"],
+                                name="conv_out")(x4, cache, train)
         batch_dict["encoded_spconv_tensor"] = out
         batch_dict["encoded_spconv_tensor_stride"] = 8
         batch_dict["multi_scale_3d_features"] = {

@@ -51,6 +51,11 @@ class _SparseConvBase(nn.Module):
     dilation: int = 1
     use_bias: bool = False
     indice_key: Optional[str] = None
+    # strided convs only: static output voxel capacity.  Downsampling merges
+    # voxels, so the active count shrinks ~2-4x per stride; keeping the
+    # input capacity wastes GEMM rows.  None = inherit input capacity
+    # (always safe); a smaller cap drops the highest-key voxels on overflow.
+    out_capacity: Optional[int] = None
 
     ND: int = 3
     KIND: str = "subm_conv3d"
@@ -163,11 +168,12 @@ class _SparseConv(_SparseConvBase):
     def __call__(self, st: SparseConvTensor, rulebook_cache=None):
         w, b = self._weight(st.num_channels)
         cache_key = ("down", tuple(st.spatial_shape), self.kernel_size,
-                     self.stride, self.padding)
+                     self.stride, self.padding, self.out_capacity)
         cached = rulebook_cache.get(cache_key) if rulebook_cache is not None else None
         if cached is None:
             out_indices, gather_idx, out_spatial = engine.sparse_conv_downsample(
-                st, self.kernel_size, self.stride, self.padding)
+                st, self.kernel_size, self.stride, self.padding,
+                out_capacity=self.out_capacity)
             if rulebook_cache is not None:
                 rulebook_cache[cache_key] = (out_indices, gather_idx, out_spatial)
                 # save source coords so a matching inverse conv can restore them

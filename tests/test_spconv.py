@@ -147,3 +147,46 @@ def test_inverse_conv_restores_coords():
                             out_valid=st.indices[:, 0] >= 0)
     assert up.shape == (64, cin)
     assert np.isfinite(np.asarray(up)).all()
+
+
+def test_capacity_schedule_equivalence():
+    """A capacity schedule with headroom must not change the dense output
+    (same active voxel set, same features)."""
+    import jax
+    import jax.numpy as jnp
+    from q3d_tpu.config import cfg_from_yaml_file, EDict
+    from q3d_tpu.datasets import build_dataloader
+    from q3d_tpu.models import build_network, load_data_to_device
+    from pathlib import Path
+
+    cfg_path = Path(__file__).resolve().parent.parent / \
+        "tools/cfgs/synthetic_models/centerpoint_tiny.yaml"
+
+    def bev(cfg):
+        dataset, loader, _ = build_dataloader(
+            cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=1, training=False)
+        model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
+                              dataset=dataset)
+        batch = load_data_to_device(next(iter(loader)))
+
+        def run(m, b):
+            b = dict(b)
+            b = m.vfe(b, False)
+            b = m.backbone_3d(b, False)
+            b = m.map_to_bev_module(b, False)
+            return b["spatial_features"]
+
+        v = jax.jit(lambda k, b: model.init(k, b, train=False))(
+            jax.random.PRNGKey(0), batch)
+        return model.apply(v, batch, method=run)
+
+    base = cfg_from_yaml_file(str(cfg_path), EDict())
+    ref = bev(base)
+    # measured tiny-scene active counts: conv2 saturates (6000/6000, so it
+    # must keep the full cap), conv3 1728, conv4/out 448 — factors with
+    # comfortable headroom over those
+    capped = cfg_from_yaml_file(str(cfg_path), EDict())
+    capped.MODEL.BACKBONE_3D.OUT_CAPACITY_FACTORS = EDict(
+        {"x_conv3": 0.5, "x_conv4": 0.2, "out": 0.2})
+    got = bev(capped)
+    assert jnp.allclose(ref, got, atol=1e-5), float(jnp.abs(ref - got).max())
