@@ -66,6 +66,7 @@ class VoxelNeXtHead(nn.Module):
         cfg = self.model_cfg
         self.feature_map_stride = cfg.TARGET_ASSIGNER_CONFIG.get(
             "FEATURE_MAP_STRIDE", 8)
+        self.double_flip = bool(cfg.get("DOUBLE_FLIP", False))
         names_each_head, ids_each_head = [], []
         for names in cfg.CLASS_NAMES_EACH_HEAD:
             present = [x for x in names if x in self.class_names]
@@ -192,12 +193,84 @@ class VoxelNeXtHead(nn.Module):
             batch_dict["tb_dict"] = {**batch_dict.get("tb_dict", {}), **tb}
 
         if not train or self.predict_boxes_when_training:
-            self._predict(batch_dict, pred_dicts, voxel_xy, voxel_batch,
-                          voxel_valid, batch_size)
+            if self.double_flip and not train:
+                merged = [self._merge_double_flip(p, st) for p in pred_dicts]
+                preds = [m[0] for m in merged]
+                _, m_xy, m_batch, m_valid = merged[0]
+                self._predict(batch_dict, preds, m_xy, m_batch, m_valid,
+                              batch_size // 4, pre_activated=True)
+            else:
+                self._predict(batch_dict, pred_dicts, voxel_xy, voxel_batch,
+                              voxel_valid, batch_size)
         return batch_dict
 
+    def _merge_double_flip(self, pred, st):
+        """Un-flip the 4 TTA sub-batches and average coincident voxels
+        (reference ``voxelnext_head.py:333`` merge_double_flip, re-designed
+        as a static sort-based segment mean).
+
+        Returns (merged_pred with hm sigmoided / dim exponentiated,
+        voxel_xy, voxel_batch, voxel_valid) at the SAME static row capacity.
+        """
+        H, W = (int(s) for s in st.spatial_shape)
+        vb = st.indices[:, 0]
+        y, x = st.indices[:, 1], st.indices[:, 2]
+        valid = st.valid
+        variant = vb % 4
+        orig = vb // 4
+        fy = (variant == 1) | (variant == 3)          # y-mirrored copies
+        fx = variant >= 2                              # x-mirrored copies
+
+        yy = jnp.where(fy, H - 1 - y, y)
+        xx = jnp.where(fx, W - 1 - x, x)
+        ctr = pred["center"]
+        # sub-cell offset mirrors to (1 - c) on the flipped axis:
+        # pos = idx + c; W - pos = (W-1-idx) + (1-c)
+        ctr = jnp.stack([jnp.where(fx, 1.0 - ctr[:, 0], ctr[:, 0]),
+                         jnp.where(fy, 1.0 - ctr[:, 1], ctr[:, 1])], 1)
+        rot = pred["rot"]                              # [cos, sin]
+        rot = jnp.stack([jnp.where(fx, -rot[:, 0], rot[:, 0]),
+                         jnp.where(fy, -rot[:, 1], rot[:, 1])], 1)
+        out = {"hm": jax.nn.sigmoid(pred["hm"]),
+               "dim": jnp.exp(pred["dim"]),
+               "center": ctr, "center_z": pred["center_z"], "rot": rot}
+        if "vel" in pred:
+            vel = pred["vel"]
+            out["vel"] = jnp.stack(
+                [jnp.where(fx, -vel[:, 0], vel[:, 0]),
+                 jnp.where(fy, -vel[:, 1], vel[:, 1])], 1)
+
+        BIG = 2 ** 30
+        keys = jnp.where(valid, orig * (H * W) + yy * W + xx, BIG)
+        order = jnp.argsort(keys)
+        ks = keys[order]
+        first = jnp.concatenate([jnp.ones(1, bool), ks[1:] != ks[:-1]])
+        first = first & (ks != BIG)
+        seg = jnp.cumsum(first) - 1
+        N = keys.shape[0]
+        slot = jnp.where(ks != BIG, seg, N)
+
+        cnt = jnp.zeros(N + 1, jnp.float32).at[slot].add(1.0)[:N]
+        denom = jnp.clip(cnt, 1.0, None)[:, None]
+
+        def seg_mean(v):
+            vs = v[order]
+            acc = jnp.zeros((N + 1, v.shape[1]), jnp.float32).at[slot].add(
+                vs.astype(jnp.float32))
+            return (acc[:N] / denom).astype(v.dtype)
+
+        merged = {k: seg_mean(v) for k, v in out.items()}
+        ukeys = jnp.full(N + 1, BIG, jnp.int32).at[slot].set(
+            ks.astype(jnp.int32))[:N]
+        m_valid = ukeys != BIG
+        m_batch = jnp.where(m_valid, ukeys // (H * W), -1)
+        rem = ukeys % (H * W)
+        m_xy = jnp.stack([jnp.where(m_valid, rem % W, 0),
+                          jnp.where(m_valid, rem // W, 0)], 1)   # [x, y]
+        return merged, m_xy, m_batch, m_valid
+
     def _predict(self, batch_dict, pred_dicts, voxel_xy, voxel_batch,
-                 voxel_valid, batch_size):
+                 voxel_valid, batch_size, pre_activated=False):
         cfg = self.model_cfg
         pp = cfg.POST_PROCESSING
         nms_cfg = pp.NMS_CONFIG
@@ -208,9 +281,10 @@ class VoxelNeXtHead(nn.Module):
         all_boxes, all_scores, all_labels, all_valid = [], [], [], []
         for idx, pred in enumerate(pred_dicts):
             ids = jnp.asarray(self.class_id_mapping_each_head[idx])
-            hm = jax.nn.sigmoid(pred["hm"])                       # (N, C)
+            hm = pred["hm"] if pre_activated \
+                else jax.nn.sigmoid(pred["hm"])                   # (N, C)
             C = hm.shape[1]
-            dims = jnp.exp(pred["dim"])
+            dims = pred["dim"] if pre_activated else jnp.exp(pred["dim"])
             rot = jnp.arctan2(pred["rot"][:, 1], pred["rot"][:, 0])
             xs = (voxel_xy[:, 0] + pred["center"][:, 0]) * stride \
                 * self.voxel_size[0] + self.point_cloud_range[0]
