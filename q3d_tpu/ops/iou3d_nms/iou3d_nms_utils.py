@@ -79,14 +79,18 @@ def _convex_area_from_candidates(pts, valid):
     rel = pts - center[..., None, :]
     ang = jnp.arctan2(rel[..., 1], rel[..., 0])
     ang = jnp.where(valid, ang, 1e4)                              # invalid sort last
-    order = jnp.argsort(ang, axis=-1)
-    rel_sorted = jnp.take_along_axis(rel, order[..., None], axis=-2)
+    # variadic key-value sort (a fusable fixed-size sorting network on TPU)
+    # instead of argsort + take_along_axis: the gathers in the latter force
+    # (..., C, 2) temporaries out to HBM, dominating NMS time at K=500
+    _, rx, ry = jax.lax.sort((ang, rel[..., 0], rel[..., 1]),
+                             dimension=-1, num_keys=1)
+    rel_sorted = jnp.stack([rx, ry], axis=-1)
     C = pts.shape[-2]
     idx = jnp.arange(C)
     # ring over the first n_valid sorted points: next(i) = i+1, last -> 0
-    nxt = jnp.where(idx[None] < (n_valid[..., None] - 1), idx[None] + 1, 0)
-    nxt = jnp.broadcast_to(nxt, rel_sorted.shape[:-1])
-    rel_next = jnp.take_along_axis(rel_sorted, nxt[..., None], axis=-2)
+    rel_next = jnp.roll(rel_sorted, -1, axis=-2)
+    is_last = idx[None] == (n_valid[..., None] - 1)
+    rel_next = jnp.where(is_last[..., None], rel_sorted[..., :1, :], rel_next)
     contrib = (rel_sorted[..., 0] * rel_next[..., 1]
                - rel_sorted[..., 1] * rel_next[..., 0])
     contrib = jnp.where(idx[None] < n_valid[..., None], contrib, 0.0)

@@ -58,11 +58,20 @@ def greedy_suppress_pallas(iou, valid, thresh, interpret=False):
 
 def greedy_suppress(iou, valid, thresh):
     """Dispatch: Pallas on TPU, interpret-mode elsewhere; XLA fori_loop if
-    Pallas raises (e.g. unusual K)."""
+    Pallas raises.  K is padded up to a lane-aligned multiple of 128 first —
+    Mosaic rejects unaligned lane dims, and the silent XLA fallback costs
+    K sequential loop dispatches (~250 ms at K=500 on v5e)."""
+    K = iou.shape[0]
+    Kp = -(-K // 128) * 128
+    if Kp != K:
+        pad = Kp - K
+        iou = jnp.pad(iou, ((0, pad), (0, pad)))
+        valid = jnp.pad(valid, (0, pad))
     try:
         on_tpu = jax.default_backend() == "tpu"
-        return greedy_suppress_pallas(iou, valid, float(thresh),
+        keep = greedy_suppress_pallas(iou, valid, float(thresh),
                                       interpret=not on_tpu)
     except Exception:
         from .iou3d_nms_utils import _greedy_suppress_xla
-        return _greedy_suppress_xla(iou, valid, float(thresh))
+        keep = _greedy_suppress_xla(iou, valid, float(thresh))
+    return keep[:K]

@@ -22,6 +22,11 @@ from flax import struct
 # jaxpr const, breaking the C++ jit dispatch fast path on the second call.
 BIG_KEY = 2 ** 30
 
+# grids with at most this many cells use the O(1) dense lookup table
+# (int32 -> up to 768 MB transient HBM); larger grids fall back to binary
+# search.  nuScenes full-res = B x 41 x 1440 x 1440 = 85M cells per sample.
+_DENSE_TABLE_MAX = 192 * 1024 * 1024
+
 
 def linearize(indices, spatial_shape, batch_size):
     """(N, 1+nd) int [b, z, y, x] -> (N,) int32 key; padding rows -> BIG_KEY."""
@@ -65,7 +70,30 @@ class SparseConvTensor(struct.PyTreeNode):
         return self.replace(sort_keys=keys[perm], sort_perm=perm.astype(jnp.int32))
 
     def lookup(self, query_keys):
-        """query_keys: (...,) int32 -> row index in [0, N] (N = miss/pad)."""
+        """query_keys: (...,) int32 -> row index in [0, N] (N = miss/pad).
+
+        Two strategies:
+          * dense-grid table (default): scatter row ids into a
+            (B * prod(spatial) + 1) int32 table, then one gather — the
+            TPU-native analogue of spconv's GPU hash map.  O(1) per query;
+            ~50x faster than binary search on v5e (XLA lowers
+            ``searchsorted`` to ~log2(N) sequential gather rounds: measured
+            172 ms for 1.6M queries vs ~3 ms for one gather).
+          * binary search in the sorted keys, for grids too large to
+            materialize the table (> _DENSE_TABLE_MAX entries).
+        """
+        size = self.batch_size
+        for s in self.spatial_shape:
+            size *= int(s)
+        if size <= _DENSE_TABLE_MAX:
+            N = self.capacity
+            keys = self.keys()
+            safe = jnp.where(keys == BIG_KEY, size, keys)
+            table = jnp.full(size + 1, N, jnp.int32).at[safe].set(
+                jnp.arange(N, dtype=jnp.int32))
+            table = table.at[size].set(N)      # sentinel slot = miss
+            q = jnp.where(query_keys == BIG_KEY, size, query_keys)
+            return table[q]
         assert self.sort_keys is not None, "call with_hash() first"
         pos = jnp.searchsorted(self.sort_keys, query_keys)
         pos = jnp.clip(pos, 0, self.capacity - 1)
