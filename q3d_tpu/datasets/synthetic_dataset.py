@@ -82,8 +82,63 @@ class SyntheticDataset(DatasetTemplate):
     def __len__(self):
         return self.length
 
+    def _make_sequence(self, rng):
+        """Multi-frame mode (SEQUENCE cfg): constant-velocity objects over T
+        frames (frame i = i*0.1 s in the PAST), per-frame noisy proposals —
+        the input contract of MPPNet (reference waymo_tracking data with
+        saved first-stage predictions)."""
+        seq = self.dataset_cfg.SEQUENCE
+        T = int(seq.get("NUM_FRAMES", 4))
+        R = int(seq.get("NUM_PROPOSALS", 16))
+        points0, gt_boxes, gt_names = make_scene(rng, self.point_cloud_range)
+        M = len(gt_boxes)
+        vel = rng.uniform(-3.0, 3.0, (M, 2)).astype(np.float32)
+
+        pts_list = []
+        roi_boxes = np.zeros((T, R, 9), np.float32)
+        roi_scores = np.zeros((T, R), np.float32)
+        roi_labels = np.zeros((T, R), np.int64)
+        cls_ids = np.array(
+            [self.class_names.index(n) + 1 if n in self.class_names else 0
+             for n in gt_names], np.int64)
+        for i in range(T):
+            boxes_i = gt_boxes.copy()
+            boxes_i[:, 0:2] -= vel * 0.1 * i        # backward in time
+            if i == 0:
+                pts = points0
+            else:
+                rng_i = np.random.RandomState(rng.randint(1 << 31))
+                pts, _, _ = make_scene(rng_i, self.point_cloud_range)
+                # re-center each object's points onto its past position is
+                # approximated by regenerating the scene; good enough for
+                # the synthetic e2e contract
+            t_col = np.full((len(pts), 1), i * 0.1, np.float32)
+            pts_list.append(np.concatenate([pts, t_col], axis=1))
+            k = min(M, R)
+            jit = rng.normal(0, 0.15, (k, 7)).astype(np.float32)
+            jit[:, 3:6] = np.abs(jit[:, 3:6]) * 0.3
+            roi_boxes[i, :k, :7] = boxes_i[:k] + jit
+            roi_boxes[i, :k, 7:9] = vel[:k]
+            roi_scores[i, :k] = rng.uniform(0.5, 1.0, k)
+            roi_labels[i, :k] = cls_ids[:k]
+        points = np.concatenate(pts_list, axis=0)
+        return points, gt_boxes, gt_names, roi_boxes, roi_scores, roi_labels
+
     def __getitem__(self, index):
         rng = np.random.RandomState(self.base_seed + int(index))
+        if self.dataset_cfg.get("SEQUENCE", None):
+            (points, gt_boxes, gt_names, roi_boxes, roi_scores,
+             roi_labels) = self._make_sequence(rng)
+            input_dict = {
+                "points": points,
+                "gt_boxes": gt_boxes,
+                "gt_names": gt_names,
+                "roi_boxes": roi_boxes,
+                "roi_scores": roi_scores,
+                "roi_labels": roi_labels,
+                "frame_id": int(index),
+            }
+            return self.prepare_data(data_dict=input_dict)
         points, gt_boxes, gt_names = make_scene(rng, self.point_cloud_range)
         input_dict = {
             "points": points,

@@ -157,12 +157,16 @@ def build_network(model_cfg, num_class, dataset):
     from .detectors import __all__ as detector_registry
     from .detectors.detector3d_template import DatasetInfo
     if not isinstance(dataset, DatasetInfo):
+        # grid/voxel geometry is absent for point-only pipelines (MPPNet)
         dataset = DatasetInfo(
             class_names=tuple(dataset.class_names),
             num_point_features=int(dataset.point_feature_encoder.num_point_features),
-            grid_size=tuple(int(g) for g in dataset.grid_size),
+            grid_size=tuple(int(g) for g in dataset.grid_size)
+            if dataset.grid_size is not None else (1, 1, 1),
             point_cloud_range=tuple(float(v) for v in dataset.point_cloud_range),
-            voxel_size=tuple(float(v) for v in dataset.voxel_size),
+            voxel_size=tuple(float(v) for v in dataset.voxel_size)
+            if getattr(dataset, "voxel_size", None) is not None
+            else (1.0, 1.0, 1.0),
         )
     cls = detector_registry[model_cfg.NAME]
     return cls(model_cfg=model_cfg, num_class=num_class, dataset=dataset)

@@ -13,6 +13,7 @@ from .second_net_iou import SECONDNetIoU  # noqa: F401
 from .bevfusion import BevFusion  # noqa: F401
 from .caddn import CaDDN  # noqa: F401
 from .pv_rcnn_plusplus import PVRCNNPlusPlus  # noqa: F401
+from .mppnet import MPPNet, MPPNetE2E  # noqa: F401
 
 __all__ = {
     "Detector3DTemplate": Detector3DTemplate,
@@ -30,6 +31,8 @@ __all__ = {
     "BevFusion": BevFusion,
     "CaDDN": CaDDN,
     "PVRCNNPlusPlus": PVRCNNPlusPlus,
+    "MPPNet": MPPNet,
+    "MPPNetE2E": MPPNetE2E,
 }
 
 
