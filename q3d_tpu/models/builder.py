@@ -185,6 +185,12 @@ def load_data_to_device(batch_dict, sharding=None, compute_dtype=None):
     """
     out = {}
     for k, v in batch_dict.items():
+        if k == "rulebooks" and isinstance(v, dict):
+            # host-planned sparse-conv rulebooks: nested pytree of int32
+            out[k] = jax.tree_util.tree_map(
+                lambda a: jax.device_put(jnp.asarray(a), sharding)
+                if sharding is not None else jnp.asarray(a), v)
+            continue
         take = k in _DEVICE_KEYS or any(
             k.startswith(p + "_") and k != "points_mask"
             for p in ("voxels", "voxel_coords", "voxel_num_points"))

@@ -114,11 +114,15 @@ class Conv2d(nn.Module):
         SmoothQuant column scaling is applied in fp before quantization.
         """
         kh, kw, cin, cout = kernel.shape
-        patches = jax.lax.conv_general_dilated_patches(
-            x, (kh, kw), strides, [(pads[0], pads[0]), (pads[1], pads[1])],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        w2d = kernel.transpose(2, 0, 1, 3).reshape(cin * kh * kw, cout)
+        assert rule.act is not None and rule.act.axis is None, \
+            "int8 deploy needs per-tensor activation scales"
         if rule.smoothquant is not None:
+            # per-patch-column SQ scaling needs the fp im2col view
+            patches = jax.lax.conv_general_dilated_patches(
+                x, (kh, kw), strides,
+                [(pads[0], pads[0]), (pads[1], pads[1])],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            w2d = kernel.transpose(2, 0, 1, 3).reshape(cin * kh * kw, cout)
             sq = rule.smoothquant
             w_amax_col = jnp.maximum(jnp.max(jnp.abs(w2d), axis=1), 1e-5)
             ndim = patches.ndim
@@ -128,9 +132,26 @@ class Conv2d(nn.Module):
                                 / jnp.power(w_amax_col, 1 - sq.alpha), 1e-5)
             patches = patches / scale
             w2d = w2d * scale[:, None]
-        assert rule.act is not None and rule.act.axis is None, \
-            "int8 deploy needs per-tensor activation scales"
-        pq, s_act = TensorQuantizer(rule.act, mode="int", name="act_quant")(patches)
+            pq, s_act = TensorQuantizer(rule.act, mode="int",
+                                        name="act_quant")(patches)
+        else:
+            # quantize FIRST, unfold in int8: the per-tensor scale of the
+            # im2col view equals the input's (patches are a re-indexing of x
+            # plus zero padding), and int8 shifted-slice unfolding halves
+            # the HBM traffic of materializing bf16/f32 patches
+            pq_x, s_act = TensorQuantizer(rule.act, mode="int",
+                                          name="act_quant")(x)
+            B, H, W, _ = x.shape
+            ph, pw = pads
+            sh, sw = strides
+            Ho = (H + 2 * ph - kh) // sh + 1
+            Wo = (W + 2 * pw - kw) // sw + 1
+            xp = jnp.pad(pq_x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+            cols = [xp[:, i:i + (Ho - 1) * sh + 1:sh,
+                       j:j + (Wo - 1) * sw + 1:sw, :]
+                    for i in range(kh) for j in range(kw)]
+            pq = jnp.concatenate(cols, axis=-1)       # (B,Ho,Wo,kh*kw*cin)
+            w2d = kernel.reshape(kh * kw * cin, cout)
         wspec = dataclasses.replace(
             rule.weight, axis=1 if rule.weight.axis is not None else None)
         wq, s_w = TensorQuantizer(wspec, mode="int", name="weight_quant")(w2d)

@@ -88,13 +88,20 @@ def sparse_conv_downsample(st: SparseConvTensor, kernel_size, stride, padding,
 
     coords = st.indices
     valid = st.valid
-    # candidate outputs from every (input, offset) pair
-    num = coords[:, None, 1:] + jnp.asarray(p)[None, None, :] \
-        - jnp.asarray(offsets)[None, :, :]                       # (N, K, nd)
-    div_ok = (num % jnp.asarray(s)[None, None, :] == 0).all(-1)
-    o = num // jnp.asarray(s)[None, None, :]
+    # candidate outputs: for each input i, reachable o per dim are
+    # floor((i+p)/s) - delta for delta in [0, ceil(k/s)) with
+    # (i+p) - s*o < k — enumerating deltas instead of all K kernel offsets
+    # shrinks the dedup-sort input by k^nd / prod(ceil(k/s)) (27 -> 8 for
+    # the standard k=3, s=2 conv), divisibility being automatic
+    deltas = np.array(list(itertools.product(
+        *[range((int(ks[d]) - 1) // int(s[d]) + 1) for d in range(nd)])),
+        np.int32)                                                # (Kc, nd)
+    ip = coords[:, None, 1:] + jnp.asarray(p)[None, None, :]     # (N, 1, nd)
+    o = ip // jnp.asarray(s)[None, None, :] - jnp.asarray(deltas)[None, :, :]
+    tap = ip - o * jnp.asarray(s)[None, None, :]
+    hit = ((tap >= 0) & (tap < jnp.asarray(ks, jnp.int32))).all(-1)
     in_bounds = ((o >= 0) & (o < jnp.asarray(out_spatial, jnp.int32))).all(-1)
-    ok = div_ok & in_bounds & valid[:, None]
+    ok = hit & in_bounds & valid[:, None]
     b = jnp.broadcast_to(coords[:, None, 0:1], (*o.shape[:2], 1))
     cand = jnp.concatenate([b, o], axis=-1).reshape(-1, 1 + nd)
     ckeys = linearize(cand, out_spatial, st.batch_size)

@@ -1,0 +1,92 @@
+"""Host-side rulebook planning — build every sparse-conv gather table on the
+CPU (C++, q3d_tpu/runtime/src/rulebook.cpp) so the jitted TPU program
+contains only gathers + MXU GEMMs.
+
+The reference runs spconv's rulebook CUDA kernels inline with the conv; on
+TPU the rulebooks are a pure host-computable function of the integer voxel
+coordinates, so a serving pipeline overlaps frame i+1's rulebook build with
+frame i's device compute (see bench.py --host-rulebooks).
+
+A *plan* is the static sequence of rulebook-producing ops a backbone
+executes; plans are derived from the same module parameters the backbone
+uses, and ``tests/test_spconv.py::test_host_rulebooks_match_engine`` pins
+host == device equality.
+"""
+
+import numpy as np
+
+from .modules import subm_cache_key, down_cache_key, down_out_spatial
+
+
+def _flatten_coords(voxel_coords):
+    """(B, V, nd) [z, y, x] with -1 pads -> (B*V, 1+nd) [b, z, y, x]."""
+    B, V, nd = voxel_coords.shape
+    b_col = np.broadcast_to(
+        np.arange(B, dtype=np.int32)[:, None, None], (B, V, 1))
+    b_col = np.where(voxel_coords[..., :1] >= 0, b_col, -1)
+    return np.concatenate([b_col, voxel_coords.astype(np.int32)],
+                          axis=-1).reshape(B * V, 1 + nd)
+
+
+def voxel_backbone_plan(sparse_shape, caps):
+    """Stage plan shared by VoxelBackBone8x / VoxelResBackBone8x (same
+    coordinate topology: subm stage 1, three k3 strided convs, a (3,1,1)
+    z-compression).  caps: dict from _capacity_schedule."""
+    return [
+        ("subm", "subm1", 3, 1),
+        ("down", 3, 2, 1, caps.get("x_conv2")),
+        ("subm", "subm2", 3, 1),
+        ("down", 3, 2, 1, caps.get("x_conv3")),
+        ("subm", "subm3", 3, 1),
+        ("down", 3, 2, (0, 1, 1), caps.get("x_conv4")),
+        ("subm", "subm4", 3, 1),
+        ("down", (3, 1, 1), (2, 1, 1), 0, caps.get("out")),
+    ]
+
+
+_RES_KEYS = {"subm1": ["res1"], "subm2": ["res2"], "subm3": ["res3"],
+             "subm4": ["res4"]}
+
+
+def build_rulebooks(plan, voxel_coords, sparse_shape, res_backbone=False):
+    """Execute a plan on host.  voxel_coords: (B, V, nd) numpy.
+    Returns {cache_key: np arrays} for SparseConvTensor rulebook_cache
+    seeding, or None when the native library is unavailable."""
+    from ...runtime import native
+    if not native.available():
+        return None
+    coords = _flatten_coords(np.asarray(voxel_coords))
+    spatial = tuple(int(s) for s in sparse_shape)
+    out = {}
+    for step in plan:
+        if step[0] == "subm":
+            _, ikey, k, dil = step
+            gather = native.subm_rulebook(coords, spatial, k, dil)
+            out[subm_cache_key(ikey, spatial, k, dil)] = gather
+            if res_backbone:
+                # residual variant shares topology under its own indice_keys
+                for rk in _RES_KEYS.get(ikey, []):
+                    out[subm_cache_key(rk, spatial, k, dil)] = gather
+        else:
+            _, k, s, p, cap = step
+            cap = cap or coords.shape[0]
+            oc, gather, out_spatial = native.downsample_rulebook(
+                coords, spatial, k, s, p, cap)
+            out[down_cache_key(spatial, k, s, p, cap)] = (oc, gather)
+            coords, spatial = oc, out_spatial
+    return out
+
+
+def build_for_backbone(backbone_name, model_cfg, grid_size, voxel_coords,
+                       input_capacity):
+    """Convenience: plan + build for a registered voxel backbone.  Returns
+    None for unsupported backbones (model falls back to device rulebooks)."""
+    if backbone_name not in ("VoxelBackBone8x", "VoxelResBackBone8x"):
+        return None
+    from ...models.backbones_3d.spconv_backbone import _capacity_schedule
+    nx, ny, nz = (int(g) for g in grid_size)
+    sparse_shape = (nz + 1, ny, nx)
+    caps = _capacity_schedule(model_cfg, input_capacity)
+    plan = voxel_backbone_plan(sparse_shape, caps)
+    return build_rulebooks(plan, voxel_coords, sparse_shape,
+                           res_backbone=backbone_name == "VoxelResBackBone8x")

@@ -36,6 +36,33 @@ def _dotted_path(module):
     return ".".join(str(p) for p in module.path)
 
 
+def _fmt(v):
+    return "x".join(str(int(x)) for x in v) if isinstance(v, (tuple, list)) \
+        else str(int(v))
+
+
+def subm_cache_key(indice_key, spatial_shape, kernel_size, dilation):
+    """String rulebook-cache key — shared between the flax modules and the
+    host planner (q3d_tpu.ops.spconv.host_planner)."""
+    return f"subm|{indice_key}|{_fmt(spatial_shape)}|{_fmt(kernel_size)}" \
+           f"|{_fmt(dilation)}"
+
+
+def down_cache_key(spatial_shape, kernel_size, stride, padding,
+                   out_capacity):
+    return f"down|{_fmt(spatial_shape)}|{_fmt(kernel_size)}|{_fmt(stride)}" \
+           f"|{_fmt(padding)}|{out_capacity}"
+
+
+def down_out_spatial(spatial_shape, kernel_size, stride, padding):
+    nd = len(spatial_shape)
+    ks = engine._tuplify(kernel_size, nd)
+    s = engine._tuplify(stride, nd)
+    p = engine._tuplify(padding, nd)
+    return tuple((int(spatial_shape[d]) + 2 * int(p[d]) - int(ks[d]))
+                 // int(s[d]) + 1 for d in range(nd))
+
+
 def _np_prod(v):
     out = 1
     for x in v:
@@ -142,8 +169,9 @@ class _SubMConv(_SparseConvBase):
     @nn.compact
     def __call__(self, st: SparseConvTensor, rulebook_cache=None):
         w, b = self._weight(st.num_channels)
-        cache_key = ("subm", self.indice_key or "", tuple(st.spatial_shape),
-                     self.kernel_size, self.dilation)
+        cache_key = subm_cache_key(self.indice_key or "",
+                                   tuple(st.spatial_shape),
+                                   self.kernel_size, self.dilation)
         gather_idx = None
         if rulebook_cache is not None:
             gather_idx = rulebook_cache.get(cache_key)
@@ -167,8 +195,9 @@ class _SparseConv(_SparseConvBase):
     @nn.compact
     def __call__(self, st: SparseConvTensor, rulebook_cache=None):
         w, b = self._weight(st.num_channels)
-        cache_key = ("down", tuple(st.spatial_shape), self.kernel_size,
-                     self.stride, self.padding, self.out_capacity)
+        cache_key = down_cache_key(tuple(st.spatial_shape), self.kernel_size,
+                                   self.stride, self.padding,
+                                   self.out_capacity)
         cached = rulebook_cache.get(cache_key) if rulebook_cache is not None else None
         if cached is None:
             out_indices, gather_idx, out_spatial = engine.sparse_conv_downsample(
@@ -177,7 +206,12 @@ class _SparseConv(_SparseConvBase):
             if rulebook_cache is not None:
                 rulebook_cache[cache_key] = (out_indices, gather_idx, out_spatial)
                 # save source coords so a matching inverse conv can restore them
-                rulebook_cache[("coords_before", cache_key)] = st.indices
+                rulebook_cache["coords_before|" + cache_key] = st.indices
+        elif len(cached) == 2:
+            # precomputed host rulebook (out_spatial is static math)
+            out_indices, gather_idx = cached
+            out_spatial = down_out_spatial(st.spatial_shape, self.kernel_size,
+                                           self.stride, self.padding)
         else:
             out_indices, gather_idx, out_spatial = cached
         feats, w, out_scale, gt = self._quantize(st.features, w, st.valid)

@@ -21,7 +21,8 @@ lib = None
 
 def _build():
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           str(_SRC / "voxelizer.cpp"), "-o", str(_LIB_PATH)]
+           str(_SRC / "voxelizer.cpp"), str(_SRC / "rulebook.cpp"),
+           "-o", str(_LIB_PATH)]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
@@ -51,6 +52,14 @@ def _load():
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32)]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.subm_rulebook.restype = ctypes.c_int
+    lib.subm_rulebook.argtypes = [i32p, ctypes.c_int64, ctypes.c_int,
+                                  i32p, i32p, i32p, i32p]
+    lib.downsample_rulebook.restype = ctypes.c_int
+    lib.downsample_rulebook.argtypes = [i32p, ctypes.c_int64, ctypes.c_int,
+                                        i32p, i32p, i32p, i32p, i32p,
+                                        ctypes.c_int64, i32p, i32p]
     return lib
 
 
@@ -82,3 +91,59 @@ def voxelize(points, voxel_size, pc_range, grid_size, max_points, max_voxels):
                        int(max_points), int(max_voxels),
                        fp(voxels), ip32(coords), ip32(num_points))
     return voxels, coords, num_points, int(count)
+
+
+def _i32(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def subm_rulebook(coords, spatial, kernel_size, dilation=1):
+    """coords: (N, 1+nd) int32 [b, ...] with -1 pads -> (N, K) gather
+    indices into the N+1-row padded features (miss = N).  Same contract as
+    ops.spconv.engine.subm_gather_indices."""
+    l = _load()
+    assert l is not None
+    coords = np.ascontiguousarray(coords, np.int32)
+    n, w = coords.shape
+    nd = w - 1
+    k = np.ascontiguousarray(
+        kernel_size if hasattr(kernel_size, "__len__")
+        else [kernel_size] * nd, np.int32)
+    dil = np.ascontiguousarray(
+        dilation if hasattr(dilation, "__len__") else [dilation] * nd,
+        np.int32)
+    sp = np.ascontiguousarray(spatial, np.int32)
+    K = int(np.prod(k))
+    gather = np.empty((n, K), np.int32)
+    l.subm_rulebook(_i32(coords), n, nd, _i32(sp), _i32(k), _i32(dil),
+                    _i32(gather))
+    return gather
+
+
+def downsample_rulebook(coords, spatial, kernel_size, stride, padding,
+                        out_capacity):
+    """Same contract as ops.spconv.engine.sparse_conv_downsample:
+    -> (out_coords (M, 1+nd), gather (M, K), out_spatial tuple)."""
+    l = _load()
+    assert l is not None
+    coords = np.ascontiguousarray(coords, np.int32)
+    n, w = coords.shape
+    nd = w - 1
+
+    def vec(v):
+        return np.ascontiguousarray(
+            v if hasattr(v, "__len__") else [v] * nd, np.int32)
+
+    k, s, p = vec(kernel_size), vec(stride), vec(padding)
+    sp = np.ascontiguousarray(spatial, np.int32)
+    out_sp = np.ascontiguousarray(
+        [(int(sp[d]) + 2 * int(p[d]) - int(k[d])) // int(s[d]) + 1
+         for d in range(nd)], np.int32)
+    K = int(np.prod(k))
+    M = int(out_capacity)
+    out_coords = np.empty((M, 1 + nd), np.int32)
+    gather = np.empty((M, K), np.int32)
+    l.downsample_rulebook(_i32(coords), n, nd, _i32(sp), _i32(out_sp),
+                          _i32(k), _i32(s), _i32(p), M, _i32(out_coords),
+                          _i32(gather))
+    return out_coords, gather, tuple(int(v) for v in out_sp)

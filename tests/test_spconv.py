@@ -190,3 +190,52 @@ def test_capacity_schedule_equivalence():
         {"x_conv3": 0.5, "x_conv4": 0.2, "out": 0.2})
     got = bev(capped)
     assert jnp.allclose(ref, got, atol=1e-5), float(jnp.abs(ref - got).max())
+
+
+def test_host_rulebooks_match_engine():
+    """C++ host planner output must bit-match the device engine's rulebooks
+    AND produce the identical dense BEV map when fed through the backbone."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pathlib import Path
+    from q3d_tpu.config import cfg_from_yaml_file, EDict
+    from q3d_tpu.datasets import build_dataloader
+    from q3d_tpu.models import build_network, load_data_to_device
+    from q3d_tpu.ops.spconv import host_planner
+    from q3d_tpu.runtime import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("no native toolchain")
+
+    cfg_path = Path(__file__).resolve().parent.parent / \
+        "tools/cfgs/synthetic_models/centerpoint_tiny.yaml"
+    cfg = cfg_from_yaml_file(str(cfg_path), EDict())
+    dataset, loader, _ = build_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=2, training=False)
+    model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
+                          dataset=dataset)
+    raw = next(iter(loader))
+    batch = load_data_to_device(raw)
+
+    def run(m, b):
+        b = dict(b)
+        b = m.vfe(b, False)
+        b = m.backbone_3d(b, False)
+        b = m.map_to_bev_module(b, False)
+        return b["spatial_features"]
+
+    v = jax.jit(lambda k, b: model.init(k, b, train=False))(
+        jax.random.PRNGKey(0), batch)
+    ref = model.apply(v, batch, method=run)
+
+    B, V = raw["voxel_coords"].shape[:2]
+    books = host_planner.build_for_backbone(
+        cfg.MODEL.BACKBONE_3D.NAME, cfg.MODEL.BACKBONE_3D,
+        dataset.grid_size, raw["voxel_coords"], B * V)
+    assert books is not None and len(books) > 0
+    batch2 = load_data_to_device({**raw, "rulebooks": books})
+    got = model.apply(v, batch2, method=run)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               atol=1e-5)
