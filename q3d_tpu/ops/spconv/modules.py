@@ -123,6 +123,19 @@ class _SparseConvBase(nn.Module):
                 if rule.weight is not None else None
             w_q = TensorQuantizer(wspec, name="weight_quant") \
                 if wspec is not None else None
+            amax_var = cmax_var = None
+            if not sq.dynamic:
+                # static SQ: calibrated per-gather-column activation amax
+                # (reference SQSubM2d's saved column scales), collected into
+                # 'calib' and committed by quant.api.compute_amax
+                ncol = int(weight.shape[0]) * int(weight.shape[1])
+                amax_var = self.variable(
+                    "quant", "sq_act_amax",
+                    lambda: jnp.ones(ncol, jnp.float32))
+                if self.is_mutable_collection("calib"):
+                    cmax_var = self.variable(
+                        "calib", "sq_act_absmax",
+                        lambda: jnp.zeros(ncol, jnp.float32))
 
             def transform(g, w2d):
                 w_amax = jnp.maximum(jnp.max(jnp.abs(w2d), axis=1), 1e-5)
@@ -130,7 +143,10 @@ class _SparseConvBase(nn.Module):
                     a_amax = jax.lax.stop_gradient(jnp.maximum(
                         jnp.max(jnp.abs(g), axis=0), 1e-5))
                 else:
-                    a_amax = w_amax  # static SQ folds offline; neutral here
+                    if cmax_var is not None:
+                        cmax_var.value = jnp.maximum(
+                            cmax_var.value, jnp.abs(g).max(0))
+                    a_amax = jnp.maximum(amax_var.value, 1e-5)
                 scale = jax.lax.stop_gradient(jnp.maximum(
                     jnp.power(a_amax, sq.alpha)
                     / jnp.power(w_amax, 1 - sq.alpha), 1e-5))

@@ -212,3 +212,55 @@ def test_group_quantization():
     assert rel0 < 0.01, rel0
     rel1 = np.abs(q[64:128] - x[64:128]).mean() / np.abs(x[64:128]).mean()
     assert rel1 < 0.01, rel1
+
+
+def test_static_smoothquant_sparse_matches_dynamic_on_calib_data():
+    """Static SQ on the sparse path: column amax collected during
+    calibration equals dynamic per-batch amax on that same batch, so the
+    calibrated static forward must reproduce the dynamic-SQ forward."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from q3d_tpu.ops.spconv import SparseConvTensor, SubMConv3d
+    from q3d_tpu.quant.rules import (QuantRules, LayerRule, SmoothQuantCfg,
+                                     quant_rules_scope)
+    from q3d_tpu.quant.tensor_quant import QuantSpec, resolve_amax
+
+    rng = np.random.RandomState(0)
+    cap, cin, cout = 64, 8, 16
+    idx = np.full((cap, 4), -1, np.int32)
+    n = 40
+    coords = rng.randint(0, 6, (n, 3))
+    idx[:n] = np.concatenate([np.zeros((n, 1), int), coords], 1)
+    feats = rng.randn(cap, cin).astype(np.float32) * np.linspace(
+        0.1, 4.0, cin)  # per-channel spread makes SQ scales matter
+    feats[n:] = 0
+    st = SparseConvTensor(features=jnp.asarray(feats),
+                          indices=jnp.asarray(idx),
+                          spatial_shape=(6, 6, 6), batch_size=1)
+
+    def rules_for(dynamic):
+        rule = LayerRule(
+            layer_kinds=("subm_conv3d",),
+            weight=QuantSpec(8, axis=0, dynamic=True),
+            act=QuantSpec(8, axis=1, dynamic=True),
+            smoothquant=SmoothQuantCfg(alpha=0.5, dynamic=dynamic))
+        return QuantRules(rules=(rule,))
+
+    conv = SubMConv3d(cout, 3, 1, 1, name="conv")
+
+    with quant_rules_scope(rules_for(True)):
+        v_dyn = conv.init(jax.random.PRNGKey(0), st)
+        out_dyn = conv.apply(v_dyn, st).features
+
+    with quant_rules_scope(rules_for(False)):
+        v_st = conv.init(jax.random.PRNGKey(0), st)
+        # one calibration pass on the same batch
+        _, upd = conv.apply(v_st, st, mutable=["calib"])
+        v_st = {**v_st, "calib": upd["calib"]}
+        new_quant = resolve_amax(v_st["calib"], v_st["quant"])
+        v_st = {"params": v_st["params"], "quant": new_quant}
+        out_st = conv.apply(v_st, st).features
+
+    np.testing.assert_allclose(np.asarray(out_dyn), np.asarray(out_st),
+                               rtol=1e-4, atol=1e-4)
