@@ -262,9 +262,12 @@ def main():
 
 def _ladder():
     """Try configurations in fresh subprocesses; emit first success."""
+    # device-only first: this machine has ONE host core, so the pipelined
+    # host-rulebook path is host-bound here (on a many-core serving host it
+    # wins — see --host-rulebooks)
     attempts = [
-        ["--size", "bench", "--host-rulebooks", "--iters", "20"],
         ["--size", "bench", "--iters", "20"],
+        ["--size", "bench", "--host-rulebooks", "--iters", "20"],
         ["--size", "tiny", "--iters", "50"],
         ["--size", "tiny", "--segmented", "--dispatch-timing",
          "--iters", "20"],
