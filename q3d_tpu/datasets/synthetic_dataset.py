@@ -21,12 +21,26 @@ def make_scene(rng, pc_range, num_objects=8, num_bg_points=12000,
         "Cyclist": (1.8, 0.6, 1.7),
     }
     pts = []
-    # ground plane
-    gx = rng.uniform(pc_range[0], pc_range[3], num_bg_points)
-    gy = rng.uniform(pc_range[1], pc_range[4], num_bg_points)
-    gz = rng.normal(-1.6, 0.05, num_bg_points)
-    gi = rng.uniform(0, 1, num_bg_points)
-    pts.append(np.stack([gx, gy, gz, gi], axis=1))
+    # ground: radial scan rings (spinning-lidar geometry) — adjacent ground
+    # returns land in ADJACENT voxels, so strided sparse convs merge them
+    # like real data (uniform scatter would be isolated voxels that only
+    # DILATE through the backbone, inflating every stage's active count)
+    r_max = min(abs(pc_range[3]), abs(pc_range[4])) * 1.4
+    n_rings = 48
+    radii = np.geomspace(2.0, r_max, n_rings)
+    per_ring = max(num_bg_points // n_rings, 8)
+    ring = np.repeat(radii, per_ring)
+    theta = np.tile(np.linspace(-np.pi, np.pi, per_ring, endpoint=False),
+                    n_rings) + rng.normal(0, 5e-4, n_rings * per_ring)
+    ring = ring * (1 + rng.normal(0, 0.003, ring.shape))
+    gx = ring * np.cos(theta)
+    gy = ring * np.sin(theta)
+    gz = rng.normal(-1.6, 0.03, ring.shape)
+    gi = rng.uniform(0, 1, ring.shape)
+    g = np.stack([gx, gy, gz, gi], axis=1)
+    inside = ((g[:, 0] >= pc_range[0]) & (g[:, 0] <= pc_range[3])
+              & (g[:, 1] >= pc_range[1]) & (g[:, 1] <= pc_range[4]))
+    pts.append(g[inside])
 
     boxes, names = [], []
     for _ in range(num_objects):
@@ -78,6 +92,10 @@ class SyntheticDataset(DatasetTemplate):
                          logger=logger)
         self.length = int(dataset_cfg.get("NUM_FRAMES", 64))
         self.base_seed = int(dataset_cfg.get("SEED", 1234))
+        self.scene_kwargs = dict(
+            num_objects=int(dataset_cfg.get("NUM_OBJECTS", 8)),
+            num_bg_points=int(dataset_cfg.get("NUM_BG_POINTS", 12000)),
+            points_per_object=int(dataset_cfg.get("POINTS_PER_OBJECT", 400)))
 
     def __len__(self):
         return self.length
@@ -90,7 +108,8 @@ class SyntheticDataset(DatasetTemplate):
         seq = self.dataset_cfg.SEQUENCE
         T = int(seq.get("NUM_FRAMES", 4))
         R = int(seq.get("NUM_PROPOSALS", 16))
-        points0, gt_boxes, gt_names = make_scene(rng, self.point_cloud_range)
+        points0, gt_boxes, gt_names = make_scene(rng, self.point_cloud_range,
+                                                 **self.scene_kwargs)
         M = len(gt_boxes)
         vel = rng.uniform(-3.0, 3.0, (M, 2)).astype(np.float32)
 
@@ -108,7 +127,8 @@ class SyntheticDataset(DatasetTemplate):
                 pts = points0
             else:
                 rng_i = np.random.RandomState(rng.randint(1 << 31))
-                pts, _, _ = make_scene(rng_i, self.point_cloud_range)
+                pts, _, _ = make_scene(rng_i, self.point_cloud_range,
+                                       **self.scene_kwargs)
                 # re-center each object's points onto its past position is
                 # approximated by regenerating the scene; good enough for
                 # the synthetic e2e contract
@@ -139,7 +159,8 @@ class SyntheticDataset(DatasetTemplate):
                 "frame_id": int(index),
             }
             return self.prepare_data(data_dict=input_dict)
-        points, gt_boxes, gt_names = make_scene(rng, self.point_cloud_range)
+        points, gt_boxes, gt_names = make_scene(rng, self.point_cloud_range,
+                                                **self.scene_kwargs)
         input_dict = {
             "points": points,
             "gt_boxes": gt_boxes,
@@ -171,7 +192,8 @@ class SyntheticDataset(DatasetTemplate):
         gts = []
         for anno in det_annos:
             rng = np.random.RandomState(self.base_seed + int(anno["frame_id"]))
-            _, gt_boxes, gt_names = make_scene(rng, self.point_cloud_range)
+            _, gt_boxes, gt_names = make_scene(rng, self.point_cloud_range,
+                                               **self.scene_kwargs)
             gts.append({"boxes": gt_boxes, "names": gt_names})
         ap_dict = simple_map(det_annos, gts, class_names)
         result_str = "\n".join(f"{k}: {v:.4f}" for k, v in ap_dict.items())

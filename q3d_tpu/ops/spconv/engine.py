@@ -189,9 +189,10 @@ def gather_conv(features, gather_idx, weight, out_valid=None, out_scale=None,
     """
     N, cin = features.shape
     K = gather_idx.shape[1]
-    feats_pad = jnp.concatenate(
-        [features, jnp.zeros((1, cin), features.dtype)], axis=0)
-    g = feats_pad[gather_idx.reshape(-1)].reshape(-1, K * cin)     # (M, K*Cin)
+    # miss rows point at index N: out-of-bounds under 'fill' -> zeros, so no
+    # padded copy of the feature matrix is materialized per conv
+    g = jnp.take(features, gather_idx.reshape(-1), axis=0, mode="fill",
+                 fill_value=0).reshape(-1, K * cin)                # (M, K*Cin)
     w2d = weight.reshape(K * cin, -1)
     if gemm_transform is not None:
         g, w2d = gemm_transform(g, w2d)
