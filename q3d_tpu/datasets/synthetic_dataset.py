@@ -181,7 +181,7 @@ class SyntheticDataset(DatasetTemplate):
                 "boxes_lidar": pred_arrays["final_boxes"][b][v],
                 "score": pred_arrays["final_scores"][b][v],
                 "pred_labels": pred_arrays["final_labels"][b][v],
-                "name": np.asarray([class_names[i - 1]
+                "name": np.asarray([class_names[int(i) - 1]
                                     for i in pred_arrays["final_labels"][b][v]]),
             })
         return annos

@@ -89,7 +89,7 @@ def _make_input_tensor(batch_dict, sparse_shape):
     return SparseConvTensor(features=feats.reshape(B * V, C),
                             indices=indices.astype(jnp.int32),
                             spatial_shape=tuple(int(s) for s in sparse_shape),
-                            batch_size=B)
+                            batch_size=B).sort_rows()
 
 
 class VoxelBackBone8x(nn.Module):

@@ -77,7 +77,7 @@ def _make_pillar_tensor(batch_dict, sparse_shape):
         else int(batch_dict["points"].shape[0])
     return SparseConvTensor(features=feats, indices=coords.astype(jnp.int32),
                             spatial_shape=tuple(int(s) for s in sparse_shape),
-                            batch_size=B)
+                            batch_size=B).sort_rows()
 
 
 class PillarBackBone8x(nn.Module):

@@ -47,7 +47,8 @@ def bev_sum_pool(st: SparseConvTensor, out_capacity=None):
                          jnp.where(out_keys == BIG_KEY, -1, y),
                          jnp.where(out_keys == BIG_KEY, -1, x)], axis=1)
     return SparseConvTensor(features=feats, indices=indices.astype(jnp.int32),
-                            spatial_shape=(H, W), batch_size=st.batch_size)
+                            spatial_shape=(H, W), batch_size=st.batch_size,
+                            sorted_rows=True)
 
 
 class _Sparse2dConvBNReLU(nn.Module):

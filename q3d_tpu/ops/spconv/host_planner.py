@@ -18,14 +18,22 @@ import numpy as np
 from .modules import subm_cache_key, down_cache_key, down_out_spatial
 
 
-def _flatten_coords(voxel_coords):
-    """(B, V, nd) [z, y, x] with -1 pads -> (B*V, 1+nd) [b, z, y, x]."""
+def _flatten_coords(voxel_coords, sparse_shape):
+    """(B, V, nd) [z, y, x] with -1 pads -> (B*V, 1+nd) [b, z, y, x],
+    rows sorted by ascending linearized key (pads last) — the numpy twin of
+    ``SparseConvTensor.sort_rows`` so host-built gather tables reference the
+    same row ids the device tensor uses."""
     B, V, nd = voxel_coords.shape
     b_col = np.broadcast_to(
         np.arange(B, dtype=np.int32)[:, None, None], (B, V, 1))
     b_col = np.where(voxel_coords[..., :1] >= 0, b_col, -1)
-    return np.concatenate([b_col, voxel_coords.astype(np.int32)],
+    flat = np.concatenate([b_col, voxel_coords.astype(np.int32)],
                           axis=-1).reshape(B * V, 1 + nd)
+    key = flat[:, 0].astype(np.int64)
+    for d in range(nd):
+        key = key * int(sparse_shape[d]) + flat[:, 1 + d]
+    key = np.where(flat[:, 0] >= 0, key, np.int64(2) ** 62)
+    return flat[np.argsort(key, kind="stable")]
 
 
 def voxel_backbone_plan(sparse_shape, caps):
@@ -55,8 +63,8 @@ def build_rulebooks(plan, voxel_coords, sparse_shape, res_backbone=False):
     from ...runtime import native
     if not native.available():
         return None
-    coords = _flatten_coords(np.asarray(voxel_coords))
     spatial = tuple(int(s) for s in sparse_shape)
+    coords = _flatten_coords(np.asarray(voxel_coords), spatial)
     out = {}
     for step in plan:
         if step[0] == "subm":

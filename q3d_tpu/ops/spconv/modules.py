@@ -181,6 +181,19 @@ class _SparseConvBase(nn.Module):
         return feats, w, None, None
 
 
+def _get_probe(st, rulebook_cache):
+    """Per-stage probe stack (engine.build_probe_stack), shared by every
+    rulebook built from the same coordinate set.  Keyed by spatial shape —
+    within one forward each spatial shape carries one coordinate set."""
+    key = "tstack|" + _fmt(tuple(st.spatial_shape))
+    probe = rulebook_cache.get(key) if rulebook_cache is not None else None
+    if probe is None:
+        probe = engine.build_probe_stack(st)
+        if rulebook_cache is not None:
+            rulebook_cache[key] = probe
+    return probe
+
+
 class _SubMConv(_SparseConvBase):
     @nn.compact
     def __call__(self, st: SparseConvTensor, rulebook_cache=None):
@@ -188,18 +201,41 @@ class _SubMConv(_SparseConvBase):
         cache_key = subm_cache_key(self.indice_key or "",
                                    tuple(st.spatial_shape),
                                    self.kernel_size, self.dilation)
-        gather_idx = None
-        if rulebook_cache is not None:
-            gather_idx = rulebook_cache.get(cache_key)
-        if gather_idx is None:
-            st = st.with_hash()
-            gather_idx = engine.subm_gather_indices(
-                st, self.kernel_size, self.dilation)
+        use_chunk = st.sorted_rows and engine.chunkable(
+            self.kernel_size, self.dilation, self.ND)
+        chunk = gather_idx = None
+        if use_chunk:
+            chunk = rulebook_cache.get("chunk|" + cache_key) \
+                if rulebook_cache is not None else None
+            if chunk is None:
+                book = rulebook_cache.get(cache_key) \
+                    if rulebook_cache is not None else None
+                if book is not None:      # host-planned direct book
+                    chunk = engine.chunk_anchor_code(book, st.capacity)
+                else:                     # build chunked book directly
+                    chunk = engine.subm_chunk_indices(
+                        st, self.kernel_size, self.dilation,
+                        probe=_get_probe(st, rulebook_cache))
+                if rulebook_cache is not None:
+                    rulebook_cache["chunk|" + cache_key] = chunk
+        else:
             if rulebook_cache is not None:
-                rulebook_cache[cache_key] = gather_idx
+                gather_idx = rulebook_cache.get(cache_key)
+            if gather_idx is None:
+                st = st.with_hash()
+                gather_idx = engine.subm_gather_indices(
+                    st, self.kernel_size, self.dilation)
+                if rulebook_cache is not None:
+                    rulebook_cache[cache_key] = gather_idx
         feats, w, out_scale, gt = self._quantize(st.features, w, st.valid)
-        out = engine.gather_conv(feats, gather_idx, w, out_scale=out_scale,
-                                 gemm_transform=gt)
+        if chunk is not None:
+            out = engine.gather_conv_chunked(
+                feats, st.keys(), st.indices[:, -1],
+                int(st.spatial_shape[-1]), chunk, w,
+                out_scale=out_scale, gemm_transform=gt)
+        else:
+            out = engine.gather_conv(feats, gather_idx, w,
+                                     out_scale=out_scale, gemm_transform=gt)
         if b is not None:
             out = out + b
         return st.replace(features=out)
@@ -214,8 +250,30 @@ class _SparseConv(_SparseConvBase):
         cache_key = down_cache_key(tuple(st.spatial_shape), self.kernel_size,
                                    self.stride, self.padding,
                                    self.out_capacity)
+        use_chunk = st.sorted_rows and engine.chunkable(
+            self.kernel_size, self.dilation, self.ND)
         cached = rulebook_cache.get(cache_key) if rulebook_cache is not None else None
-        if cached is None:
+        chunk = gather_idx = None
+        if cached is not None and len(cached) == 2:
+            # precomputed host rulebook (out_spatial is static math)
+            out_indices, gather_idx = cached
+            out_spatial = down_out_spatial(st.spatial_shape, self.kernel_size,
+                                           self.stride, self.padding)
+        elif cached is not None:
+            out_indices, gather_idx, out_spatial = cached
+        elif use_chunk:
+            ck = rulebook_cache.get("chunkdown|" + cache_key) \
+                if rulebook_cache is not None else None
+            if ck is None:
+                ck = engine.sparse_conv_downsample_chunk(
+                    st, self.kernel_size, self.stride, self.padding,
+                    out_capacity=self.out_capacity,
+                    probe=_get_probe(st, rulebook_cache))
+                if rulebook_cache is not None:
+                    rulebook_cache["chunkdown|" + cache_key] = ck
+                    rulebook_cache["coords_before|" + cache_key] = st.indices
+            out_indices, chunk, out_spatial = ck
+        else:
             out_indices, gather_idx, out_spatial = engine.sparse_conv_downsample(
                 st, self.kernel_size, self.stride, self.padding,
                 out_capacity=self.out_capacity)
@@ -223,22 +281,31 @@ class _SparseConv(_SparseConvBase):
                 rulebook_cache[cache_key] = (out_indices, gather_idx, out_spatial)
                 # save source coords so a matching inverse conv can restore them
                 rulebook_cache["coords_before|" + cache_key] = st.indices
-        elif len(cached) == 2:
-            # precomputed host rulebook (out_spatial is static math)
-            out_indices, gather_idx = cached
-            out_spatial = down_out_spatial(st.spatial_shape, self.kernel_size,
-                                           self.stride, self.padding)
-        else:
-            out_indices, gather_idx, out_spatial = cached
+        if use_chunk and chunk is None:
+            # direct book available (host-planned or cached): derive
+            chunk = rulebook_cache.get("chunk|" + cache_key) \
+                if rulebook_cache is not None else None
+            if chunk is None:
+                chunk = engine.chunk_anchor_code(gather_idx, st.capacity)
+                if rulebook_cache is not None:
+                    rulebook_cache["chunk|" + cache_key] = chunk
         feats, w, out_scale, gt = self._quantize(st.features, w, st.valid)
-        out = engine.gather_conv(feats, gather_idx, w,
-                                 out_valid=out_indices[:, 0] >= 0,
-                                 out_scale=out_scale, gemm_transform=gt)
+        if chunk is not None:
+            out = engine.gather_conv_chunked(
+                feats, st.keys(), st.indices[:, -1],
+                int(st.spatial_shape[-1]), chunk, w,
+                out_valid=out_indices[:, 0] >= 0,
+                out_scale=out_scale, gemm_transform=gt)
+        else:
+            out = engine.gather_conv(feats, gather_idx, w,
+                                     out_valid=out_indices[:, 0] >= 0,
+                                     out_scale=out_scale, gemm_transform=gt)
         if b is not None:
             out = out + b * (out_indices[:, 0] >= 0)[:, None]
         return SparseConvTensor(features=out, indices=out_indices,
                                 spatial_shape=out_spatial,
-                                batch_size=st.batch_size)
+                                batch_size=st.batch_size,
+                                sorted_rows=True)
 
 
 class SubMConv3d(_SubMConv):

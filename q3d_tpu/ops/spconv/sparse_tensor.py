@@ -45,6 +45,11 @@ class SparseConvTensor(struct.PyTreeNode):
     # sorted-key lookup table (built lazily by with_hash())
     sort_keys: Optional[jnp.ndarray] = None   # (N,) int32 ascending, pads last
     sort_perm: Optional[jnp.ndarray] = None   # (N,) int32 original row ids
+    # static invariant: rows are stored in ascending linearized-key order
+    # (pads last).  Unlocks the chunked gather path in the conv engine, where
+    # the three consecutive-x taps of each kernel (.., ky) group are read as
+    # ONE wide row of a rolled x-window matrix (engine.gather_conv_chunked).
+    sorted_rows: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def capacity(self):
@@ -60,6 +65,23 @@ class SparseConvTensor(struct.PyTreeNode):
 
     def keys(self):
         return linearize(self.indices, self.spatial_shape, self.batch_size)
+
+    def sort_rows(self):
+        """Permute rows into ascending linearized-key order (pads last).
+
+        Real keys are unique, so the permutation is deterministic; pad rows
+        (all BIG_KEY, identical zero content) keep relative order under the
+        stable XLA sort.  The host rulebook planner applies the numpy twin of
+        this sort so host-built gather tables reference the same row ids.
+        """
+        if self.sorted_rows:
+            return self
+        perm = jnp.argsort(self.keys(), stable=True).astype(jnp.int32)
+        return SparseConvTensor(
+            features=jnp.take(self.features, perm, axis=0),
+            indices=jnp.take(self.indices, perm, axis=0),
+            spatial_shape=self.spatial_shape, batch_size=self.batch_size,
+            sorted_rows=True)
 
     def with_hash(self):
         """Attach the sorted-key table (idempotent)."""

@@ -9,13 +9,28 @@ by SyntheticDataset and CI tests.
 import numpy as np
 
 
+def _bucket(n):
+    """Round up to a power-of-two size so the jitted IoU kernel compiles a
+    handful of times instead of once per unique per-frame box count (a
+    recompilation storm that made evaluation hang for minutes)."""
+    b = 8
+    while b < n:
+        b *= 2
+    return b
+
+
 def _bev_iou_np(boxes_a, boxes_b):
     import jax.numpy as jnp
     from ..ops.iou3d_nms import boxes_iou_bev
-    if len(boxes_a) == 0 or len(boxes_b) == 0:
-        return np.zeros((len(boxes_a), len(boxes_b)), np.float32)
-    return np.asarray(boxes_iou_bev(jnp.asarray(boxes_a, jnp.float32),
-                                    jnp.asarray(boxes_b, jnp.float32)))
+    na, nb = len(boxes_a), len(boxes_b)
+    if na == 0 or nb == 0:
+        return np.zeros((na, nb), np.float32)
+    pa = np.zeros((_bucket(na), boxes_a.shape[1]), np.float32)
+    pb = np.zeros((_bucket(nb), boxes_b.shape[1]), np.float32)
+    pa[:na] = boxes_a
+    pb[:nb] = boxes_b
+    return np.asarray(boxes_iou_bev(jnp.asarray(pa),
+                                    jnp.asarray(pb)))[:na, :nb]
 
 
 def simple_map(det_annos, gt_annos, class_names, iou_thresh=0.5):

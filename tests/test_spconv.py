@@ -239,3 +239,66 @@ def test_host_rulebooks_match_engine():
     got = model.apply(v, batch2, method=run)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
                                atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_chunked_gather_matches_direct_subm(seed):
+    """gather_conv_chunked (anchored x-window rows) must be bit-equal to the
+    direct 27-row gather on key-sorted storage."""
+    rng = np.random.RandomState(seed)
+    spatial, cin, cout = (5, 9, 9), 4, 6
+    st, _ = _random_sparse(rng, 2, spatial, 40, cin, capacity=64)
+    st = st.replace(sorted_rows=True).with_hash()   # _random_sparse sorts
+    w = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32) * 0.1)
+
+    gidx = engine.subm_gather_indices(st, 3)
+    direct = np.asarray(engine.gather_conv(st.features, gidx, w))
+
+    cidx = engine.chunk_anchor_code(gidx, st.capacity)
+    chunked = np.asarray(engine.gather_conv_chunked(
+        st.features, st.keys(), st.indices[:, -1], int(spatial[-1]),
+        cidx, w))
+    np.testing.assert_array_equal(direct, chunked)
+
+
+@pytest.mark.parametrize("stride,pad", [(2, 1), (2, 0)])
+def test_chunked_gather_matches_direct_downsample(stride, pad):
+    rng = np.random.RandomState(7)
+    spatial, cin, cout = (6, 10, 10), 3, 5
+    st, _ = _random_sparse(rng, 2, spatial, 50, cin, capacity=80)
+    st = st.replace(sorted_rows=True).with_hash()
+    w = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32) * 0.1)
+
+    out_idx, gidx, out_spatial = engine.sparse_conv_downsample(
+        st, 3, stride, pad)
+    valid = out_idx[:, 0] >= 0
+    direct = np.asarray(engine.gather_conv(st.features, gidx, w,
+                                           out_valid=valid))
+    cidx = engine.chunk_anchor_code(gidx, st.capacity)
+    chunked = np.asarray(engine.gather_conv_chunked(
+        st.features, st.keys(), st.indices[:, -1], int(spatial[-1]),
+        cidx, w, out_valid=valid))
+    np.testing.assert_array_equal(direct, chunked)
+
+
+def test_chunked_gather_dense_occupancy():
+    """Fully-occupied rows exercise every adjacency/realign case incl. the
+    x = nx-1 / nx-2 wrap masks."""
+    rng = np.random.RandomState(11)
+    spatial, cin, cout = (3, 4, 4), 2, 3
+    # every cell active -> capacity == number of cells
+    n = 2 * 3 * 4 * 4
+    st, dense = _random_sparse(rng, 2, spatial, n, cin, capacity=n)
+    st = st.replace(sorted_rows=True).with_hash()
+    w = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32) * 0.1)
+    gidx = engine.subm_gather_indices(st, 3)
+    cidx = engine.chunk_anchor_code(gidx, st.capacity)
+    chunked = np.asarray(engine.gather_conv_chunked(
+        st.features, st.keys(), st.indices[:, -1], int(spatial[-1]),
+        cidx, w))
+    oracle = _dense_conv(dense, np.asarray(w), (1, 1, 1), (1, 1, 1),
+                         (3, 3, 3))
+    for i in range(n):
+        b, z, y, x = np.asarray(st.indices[i])
+        np.testing.assert_allclose(chunked[i], oracle[b, z, y, x], rtol=1e-4,
+                                   atol=1e-4)

@@ -29,7 +29,7 @@ def parse_config():
                              "they appear (reference repeat_eval_ckpt)")
     parser.add_argument("--ckpt_dir", type=str, default=None)
     parser.add_argument("--max_waiting_mins", type=int, default=30)
-    parser.add_argument("--set", dest="set_cfgs", default=None, nargs=...)
+    parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
 
     from q3d_tpu.config import cfg, cfg_from_yaml_file, cfg_from_list

@@ -22,7 +22,7 @@ def parse_config():
     parser.add_argument("--fix_random_seed", action="store_true")
     parser.add_argument("--ckpt_save_interval", type=int, default=1)
     parser.add_argument("--max_ckpt_save_num", type=int, default=30)
-    parser.add_argument("--set", dest="set_cfgs", default=None, nargs=...,
+    parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER,
                         help="override settings: KEY VALUE pairs")
     args = parser.parse_args()
 
