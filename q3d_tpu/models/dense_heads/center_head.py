@@ -201,11 +201,15 @@ class CenterHead(nn.Module):
         post_range = list(pp.POST_CENTER_LIMIT_RANGE)
         head_order = list(cfg.SEPARATE_HEAD_CFG.HEAD_ORDER)
 
-        all_boxes, all_scores, all_labels, all_valid = [], [], [], []
+        # Phase 1 — per-head decode (hm channel counts differ per head, so
+        # this stays a python loop); Phase 2 — ONE vmapped NMS over the
+        # stacked (heads*batch) candidate sets: a single greedy-suppression
+        # loop and one batched IoU instead of num_heads sequential ones.
+        dec_boxes, dec_scores, dec_labels, dec_valid = [], [], [], []
         for idx, pred in enumerate(pred_dicts):
             ids = jnp.asarray(self.class_id_mapping_each_head[idx])
 
-            def decode_one(hm, center, center_z, dim, rot, vel):
+            def decode_one(hm, center, center_z, dim, rot, vel, ids=ids):
                 d = centernet_utils.decode_bbox_from_heatmap(
                     jax.nn.sigmoid(hm), rot[..., 0:1], rot[..., 1:2],
                     center, center_z, jnp.exp(dim),
@@ -213,13 +217,7 @@ class CenterHead(nn.Module):
                     self.feature_map_stride, vel=vel,
                     K=pp.MAX_OBJ_PER_SAMPLE, score_thresh=pp.SCORE_THRESH,
                     post_center_limit_range=post_range)
-                sel, sel_valid = model_nms_utils.class_agnostic_nms(
-                    d["scores"], d["boxes"][:, :7], nms_cfg,
-                    box_valid=d["valid"])
-                boxes = d["boxes"][sel]
-                scores = d["scores"][sel]
-                labels = ids[d["labels"][sel]] + 1
-                return boxes, scores, labels, sel_valid
+                return d["boxes"], d["scores"], ids[d["labels"]] + 1, d["valid"]
 
             if "vel" in pred:
                 boxes, scores, labels, valid = jax.vmap(decode_one)(
@@ -230,15 +228,33 @@ class CenterHead(nn.Module):
                     lambda hm, c, cz, d, r: decode_one(hm, c, cz, d, r, None))(
                     pred["hm"], pred["center"], pred["center_z"], pred["dim"],
                     pred["rot"])
-            all_boxes.append(boxes)
-            all_scores.append(scores)
-            all_labels.append(labels)
-            all_valid.append(valid)
+            dec_boxes.append(boxes)
+            dec_scores.append(scores)
+            dec_labels.append(labels)
+            dec_valid.append(valid)
 
-        batch_dict["final_boxes"] = jnp.concatenate(all_boxes, axis=1)
-        batch_dict["final_scores"] = jnp.concatenate(all_scores, axis=1)
-        batch_dict["final_labels"] = jnp.concatenate(all_labels, axis=1)
-        batch_dict["final_valid"] = jnp.concatenate(all_valid, axis=1)
+        H = len(dec_boxes)
+        B = dec_boxes[0].shape[0]
+        sb = jnp.concatenate(dec_boxes, axis=0)       # (H*B, K, box)
+        ss = jnp.concatenate(dec_scores, axis=0)
+        sl = jnp.concatenate(dec_labels, axis=0)
+        sv = jnp.concatenate(dec_valid, axis=0)
+
+        def nms_one(boxes, scores, labels, valid):
+            sel, sel_valid = model_nms_utils.class_agnostic_nms(
+                scores, boxes[:, :7], nms_cfg, box_valid=valid)
+            return boxes[sel], scores[sel], labels[sel], sel_valid
+
+        nb, ns, nl, nv = jax.vmap(nms_one)(sb, ss, sl, sv)
+
+        def unstack(x):
+            return jnp.concatenate(
+                [x[i * B:(i + 1) * B] for i in range(H)], axis=1)
+
+        batch_dict["final_boxes"] = unstack(nb)
+        batch_dict["final_scores"] = unstack(ns)
+        batch_dict["final_labels"] = unstack(nl)
+        batch_dict["final_valid"] = unstack(nv)
         if self.predict_boxes_when_training:
             batch_dict["rois"] = batch_dict["final_boxes"]
             batch_dict["roi_scores"] = batch_dict["final_scores"]

@@ -8,11 +8,15 @@ overlap + 64-bit-bitmask greedy NMS) and its wrappers
 
 Design: instead of sequential polygon clipping per pair (branchy, scalar —
 hostile to the VPU), the rotated intersection area is computed data-parallel
-over all N×M pairs at once from a fixed 24-candidate-vertex set
-(4+4 contained corners + 16 edge×edge intersections), angularly sorted and
-integrated with a masked shoelace.  Greedy NMS is a ``lax.fori_loop`` over a
-precomputed K×K IoU matrix with static K (scores are pre-top-K'd), so the
-whole post-processing stage stays inside one XLA computation.
+over all N×M pairs at once: each quad edge is interval-clipped to the other
+quad's half-planes (Liang-Barsky) and contributes its shoelace term
+directly — the boundary of a convex intersection is exactly {A-edge parts
+inside B} ∪ {B-edge parts inside A}, and shoelace contributions need no
+global vertex ordering.  No sort, no transcendentals (an earlier
+24-candidate angular-sort formulation spent ~5x the time in lax.sort +
+arctan2).  Greedy NMS is a ``lax.fori_loop`` over a precomputed K×K IoU
+matrix with static K (scores are pre-top-K'd), so the whole post-processing
+stage stays inside one XLA computation.
 """
 
 from functools import partial
@@ -31,84 +35,61 @@ def _cross2(o, a, b):
             - (a[..., 1] - o[..., 1]) * (b[..., 0] - o[..., 0]))
 
 
-def _points_in_convex_quad(pts, quad):
-    """pts: (..., P, 2); quad: (..., 4, 2) counter-clockwise -> (..., P) bool."""
-    inside = None
-    for i in range(4):
-        a = quad[..., i, :][..., None, :]
-        b = quad[..., (i + 1) % 4, :][..., None, :]
-        s = _cross2(a, b, pts)
-        cond = s >= -1e-6
-        inside = cond if inside is None else (inside & cond)
-    return inside
+def _clipped_edges_contrib(poly, clip, origin, bias):
+    """Shoelace contributions of ``poly``'s edges clipped to the inside of
+    convex ``clip`` (Liang-Barsky interval clipping per edge).
 
-
-def _segment_intersections(qa, qb):
-    """All 16 edge-pair intersection points between two quads.
-
-    qa, qb: (..., 4, 2). Returns pts (..., 16, 2), valid (..., 16).
+    poly, clip: (..., 4, 2) CCW; origin: (..., 2) common shoelace origin.
+    Returns (contrib (...,), net (..., 2)) = the summed shoelace
+    contributions 0.5 * cross(q1_e - o, q2_e - o) of the retained
+    sub-segments, and the net traversal vector sum(q2_e - q1_e) used by the
+    caller's closed-boundary check.  ``bias`` shifts the inside test
+    (d >= bias): a positive bias requires strict interiority, excluding
+    boundary-collinear segments.
     """
-    a1 = qa[..., :, None, :]                       # (...,4,1,2)
-    a2 = jnp.roll(qa, -1, axis=-2)[..., :, None, :]
-    b1 = qb[..., None, :, :]                       # (...,1,4,2)
-    b2 = jnp.roll(qb, -1, axis=-2)[..., None, :, :]
-    da = a2 - a1
-    db = b2 - b1
-    denom = da[..., 0] * db[..., 1] - da[..., 1] * db[..., 0]   # (...,4,4)
-    diff = b1 - a1
-    t_num = diff[..., 0] * db[..., 1] - diff[..., 1] * db[..., 0]
-    u_num = diff[..., 0] * da[..., 1] - diff[..., 1] * da[..., 0]
+    p1 = poly                                          # (...,4,2)
+    p2 = jnp.roll(poly, -1, axis=-2)
+    c1 = clip[..., None, :, :]                         # (...,1,4,2)
+    c2 = jnp.roll(clip, -1, axis=-2)[..., None, :, :]
+    # signed (scaled) distance of edge endpoints to each clip half-plane
+    d1 = _cross2(c1, c2, p1[..., :, None, :]) - bias   # (...,4poly,4clip)
+    d2 = _cross2(c1, c2, p2[..., :, None, :]) - bias
+    denom = d1 - d2
     safe = jnp.where(jnp.abs(denom) < _EPS, 1.0, denom)
-    t = t_num / safe
-    u = u_num / safe
-    valid = (jnp.abs(denom) >= _EPS) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
-    pts = a1 + t[..., None] * da
-    shp = pts.shape[:-3]
-    return pts.reshape(*shp, 16, 2), valid.reshape(*shp, 16)
+    tc = d1 / safe                                     # crossing parameter
+    # entry (outside->inside) raises t0; exit lowers t1; both-outside empty
+    t0 = jnp.where((d1 < 0) & (d2 >= 0), tc, 0.0).max(axis=-1)
+    t1 = jnp.where((d1 >= 0) & (d2 < 0), tc, 1.0).min(axis=-1)
+    keep = ~(((d1 < 0) & (d2 < 0)).any(axis=-1) | (t0 >= t1))
+    keepf = keep.astype(poly.dtype)[..., None]
+    e = p2 - p1
+    o = origin[..., None, :]
+    q1 = (p1 - o + t0[..., None] * e) * keepf
+    q2 = (p1 - o + t1[..., None] * e) * keepf
+    contrib = 0.5 * (q1[..., 0] * q2[..., 1] - q1[..., 1] * q2[..., 0])
+    return contrib.sum(axis=-1), (q2 - q1).sum(axis=-2)
 
 
-def _convex_area_from_candidates(pts, valid):
-    """Area of the convex hull of masked candidate points.
-
-    pts: (..., C, 2); valid: (..., C).  All valid points are assumed to lie on
-    the hull (true for intersections of two convex quads).
-    """
-    n_valid = valid.sum(axis=-1)                                  # (...,)
-    w = valid[..., None].astype(pts.dtype)
-    center = (pts * w).sum(axis=-2) / jnp.maximum(n_valid[..., None], 1)
-    rel = pts - center[..., None, :]
-    ang = jnp.arctan2(rel[..., 1], rel[..., 0])
-    ang = jnp.where(valid, ang, 1e4)                              # invalid sort last
-    # variadic key-value sort (a fusable fixed-size sorting network on TPU)
-    # instead of argsort + take_along_axis: the gathers in the latter force
-    # (..., C, 2) temporaries out to HBM, dominating NMS time at K=500
-    _, rx, ry = jax.lax.sort((ang, rel[..., 0], rel[..., 1]),
-                             dimension=-1, num_keys=1)
-    rel_sorted = jnp.stack([rx, ry], axis=-1)
-    C = pts.shape[-2]
-    idx = jnp.arange(C)
-    # ring over the first n_valid sorted points: next(i) = i+1, last -> 0
-    rel_next = jnp.roll(rel_sorted, -1, axis=-2)
-    is_last = idx[None] == (n_valid[..., None] - 1)
-    rel_next = jnp.where(is_last[..., None], rel_sorted[..., :1, :], rel_next)
-    contrib = (rel_sorted[..., 0] * rel_next[..., 1]
-               - rel_sorted[..., 1] * rel_next[..., 0])
-    contrib = jnp.where(idx[None] < n_valid[..., None], contrib, 0.0)
-    area = 0.5 * jnp.abs(contrib.sum(axis=-1))
-    return jnp.where(n_valid >= 3, area, 0.0)
+_BIAS = 1e-3   # collinear-boundary exclusion margin (scaled distance units)
 
 
 def _rotated_overlap_quads(qa, qb):
-    """Intersection area of two convex quads; qa:(...,4,2), qb:(...,4,2)."""
+    """Intersection area of two convex quads; qa:(...,4,2), qb:(...,4,2).
+
+    Asymmetric biases count shared collinear boundary once (A-edges keep it,
+    B-edges need strict interiority).  A degenerate contact (segment/point
+    intersection) leaves the collected boundary unclosed; the net-traversal
+    check zeroes those (a closed CCW boundary has zero net edge vector).
+    """
     shape = jnp.broadcast_shapes(qa.shape, qb.shape)
     qa = jnp.broadcast_to(qa, shape)
     qb = jnp.broadcast_to(qb, shape)
-    a_in_b = _points_in_convex_quad(qa, qb)            # (...,4)
-    b_in_a = _points_in_convex_quad(qb, qa)            # (...,4)
-    inter_pts, inter_valid = _segment_intersections(qa, qb)
-    pts = jnp.concatenate([qa, qb, inter_pts], axis=-2)          # (...,24,2)
-    valid = jnp.concatenate([a_in_b, b_in_a, inter_valid], axis=-1)
-    return _convex_area_from_candidates(pts, valid)
+    origin = qa.mean(axis=-2)
+    a1, v1 = _clipped_edges_contrib(qa, qb, origin, 0.0)
+    a2, v2 = _clipped_edges_contrib(qb, qa, origin, _BIAS)
+    v = v1 + v2
+    closed = (jnp.abs(v[..., 0]) + jnp.abs(v[..., 1])) < 1e-2
+    return jnp.where(closed, jnp.maximum(a1 + a2, 0.0), 0.0)
 
 
 def boxes_bev_overlap(boxes_a, boxes_b):
