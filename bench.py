@@ -225,21 +225,34 @@ def main():
     jax.block_until_ready(variables)
     log(f"init done in {time.perf_counter() - t0:.1f}s")
 
-    def measure(rules, tag):
+    def measure(rules, mode_vars, tag):
         log(f"timing {tag} ...")
         if args.dispatch_timing:
             runner = _make_runner(model, rules, args.segmented)
-            dt = time_mode(runner, variables, batch16, args.iters)
+            dt = time_mode(runner, mode_vars, batch16, args.iters)
         else:
             jfn = _make_loop_runner(model, rules)
-            dt = time_loop(jfn, variables, batch16, args.iters)
+            dt = time_loop(jfn, mode_vars, batch16, args.iters)
         log(f"{tag}: {dt * 1e3:.2f} ms/batch -> {args.batch / dt:.2f} "
             "frames/s")
         return dt
 
-    dt16 = max(measure(None, "bf16"), host_ms / 1e3)
+    dt16 = max(measure(None, variables, "bf16"), host_ms / 1e3)
     fps16 = args.batch / dt16
-    dt8 = max(measure(int8_deploy_recipe(), "int8"), host_ms / 1e3)
+
+    # int8 deployment: static scales + int8 residency across the sparse
+    # backbone.  PTQ calibration (collect absmax on the example scene, fold
+    # amax) runs offline — it is part of quantization, not of inference.
+    from q3d_tpu.quant.api import (quantize_model, collect_stats,
+                                   compute_amax)
+    rules8 = int8_deploy_recipe(residency=True)
+    log("calibrating int8 deploy scales ...")
+    vars8 = quantize_model(model, variables, rules8, batch16)
+    vars8 = collect_stats(model, vars8, rules8, [batch16] * 2,
+                          num_batches=2, loader_to_device=lambda b: b)
+    vars8 = compute_amax(vars8, method="max")
+    vars8 = jax.device_put(vars8)
+    dt8 = max(measure(rules8, vars8, "int8"), host_ms / 1e3)
     fps8 = args.batch / dt8
 
     ratio = fps8 / fps16

@@ -11,6 +11,7 @@ rulebook sharing: every SubM layer in a stage reuses one binary-search
 rulebook; each strided conv builds its output coordinate set once.
 """
 
+import dataclasses
 from typing import Any, Tuple
 
 import flax.linen as nn
@@ -18,10 +19,16 @@ import jax.numpy as jnp
 
 from ...ops.spconv import (SparseConvTensor, SubMConv3d, SparseConv3d,
                            SparseBatchNorm)
+from ...ops.spconv.modules import (residency_rule, requant_epilogue,
+                                   dequantize_tensor)
 
 
 class _SparseConvBNReLU(nn.Module):
-    """post_act_block equivalent (conv -> BN -> ReLU)."""
+    """post_act_block equivalent (conv -> BN -> ReLU).
+
+    Under an int8-residency deploy rule (eval only), BN's eval affine +
+    ReLU + requantization fold into the conv's epilogue and the block emits
+    int8 features directly (``quant.rules.LayerRule.int8_residency``)."""
     out_channels: int
     kernel_size: Any = 3
     stride: Any = 1
@@ -32,6 +39,8 @@ class _SparseConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, st, cache, train=False):
+        kind = "subm_conv3d" if self.conv_type == "subm" else "sparse_conv3d"
+        rule = residency_rule(self, "conv", kind) if not train else None
         if self.conv_type == "subm":
             st = SubMConv3d(self.out_channels, self.kernel_size, 1, self.padding,
                             indice_key=self.indice_key, name="conv")(st, cache)
@@ -42,6 +51,11 @@ class _SparseConvBNReLU(nn.Module):
                               name="conv")(st, cache)
         else:
             raise ValueError(self.conv_type)
+        if rule is not None:
+            k, b = SparseBatchNorm(num_channels=self.out_channels,
+                                   name="norm")()
+            return requant_epilogue(
+                st, k, b, dataclasses.replace(rule.act, axis=None))
         st = SparseBatchNorm(name="norm")(st, train)
         return st.replace_feature(jnp.maximum(st.features, 0.0))
 
@@ -68,6 +82,20 @@ class SparseBasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, st, cache, train=False):
+        rule = residency_rule(self, "conv1", "subm_conv3d") \
+            if not train else None
+        if rule is not None:
+            spec = dataclasses.replace(rule.act, axis=None)
+            identity = st
+            st = SubMConv3d(self.channels, 3, 1, 1, use_bias=self.use_bias,
+                            indice_key=self.indice_key, name="conv1")(st, cache)
+            k1, b1 = SparseBatchNorm(num_channels=self.channels, name="bn1")()
+            st = requant_epilogue(st, k1, b1, spec, name="out_quant1")
+            st = SubMConv3d(self.channels, 3, 1, 1, use_bias=self.use_bias,
+                            indice_key=self.indice_key, name="conv2")(st, cache)
+            k2, b2 = SparseBatchNorm(num_channels=self.channels, name="bn2")()
+            return requant_epilogue(st, k2, b2, spec, identity=identity,
+                                    name="out_quant2")
         identity = st.features
         st = SubMConv3d(self.channels, 3, 1, 1, use_bias=self.use_bias,
                         indice_key=self.indice_key, name="conv1")(st, cache)
@@ -144,10 +172,13 @@ class VoxelBackBone8x(nn.Module):
         out = _SparseConvBNReLU(128, (3, 1, 1), (2, 1, 1), last_pad, "spconv",
                                 "spconv_down2", out_capacity=caps["out"],
                                 name="conv_out")(x4, cache, train)
-        batch_dict["encoded_spconv_tensor"] = out
+        batch_dict["encoded_spconv_tensor"] = dequantize_tensor(out)
         batch_dict["encoded_spconv_tensor_stride"] = 8
+        # unused exports are DCE'd by XLA, so these dequants are free unless
+        # a downstream head actually consumes them
         batch_dict["multi_scale_3d_features"] = {
-            "x_conv1": x1, "x_conv2": x2, "x_conv3": x3, "x_conv4": x4}
+            "x_conv1": dequantize_tensor(x1), "x_conv2": dequantize_tensor(x2),
+            "x_conv3": dequantize_tensor(x3), "x_conv4": dequantize_tensor(x4)}
         batch_dict["multi_scale_3d_strides"] = {
             "x_conv1": 1, "x_conv2": 2, "x_conv3": 4, "x_conv4": 8}
         return batch_dict
@@ -173,42 +204,63 @@ class VoxelResBackBone8x(nn.Module):
         return {"x_conv1": 16, "x_conv2": 32, "x_conv3": 64, "x_conv4": 128}
 
     @nn.compact
-    def __call__(self, batch_dict, train: bool = False):
+    def __call__(self, batch_dict, train: bool = False, stop_after=None):
         cache = dict(batch_dict.get("rulebooks", {}))
         use_bias = bool(self.model_cfg.get("USE_BIAS", False))
         st = _make_input_tensor(batch_dict, self.sparse_shape)
         caps = _capacity_schedule(self.model_cfg, st.capacity)
+        if stop_after == "sort":            # profiling stop (static arg)
+            batch_dict["encoded_spconv_tensor"] = st
+            return batch_dict
         x = _SparseConvBNReLU(16, 3, 1, 1, "subm", "subm1",
                               name="conv_input")(st, cache, train)
         x1 = SparseBasicBlock(16, "res1", use_bias, name="conv1_0")(x, cache, train)
         x1 = SparseBasicBlock(16, "res1", use_bias, name="conv1_1")(x1, cache, train)
+        if stop_after == "s1":
+            batch_dict["encoded_spconv_tensor"] = x1
+            return batch_dict
 
         x2 = _SparseConvBNReLU(32, 3, 2, 1, "spconv", "spconv2",
                                out_capacity=caps["x_conv2"],
                                name="conv2_0")(x1, cache, train)
+        if stop_after == "down2":
+            batch_dict["encoded_spconv_tensor"] = x2
+            return batch_dict
         x2 = SparseBasicBlock(32, "res2", use_bias, name="conv2_1")(x2, cache, train)
         x2 = SparseBasicBlock(32, "res2", use_bias, name="conv2_2")(x2, cache, train)
+        if stop_after == "s2":
+            batch_dict["encoded_spconv_tensor"] = x2
+            return batch_dict
 
         x3 = _SparseConvBNReLU(64, 3, 2, 1, "spconv", "spconv3",
                                out_capacity=caps["x_conv3"],
                                name="conv3_0")(x2, cache, train)
         x3 = SparseBasicBlock(64, "res3", use_bias, name="conv3_1")(x3, cache, train)
         x3 = SparseBasicBlock(64, "res3", use_bias, name="conv3_2")(x3, cache, train)
+        if stop_after == "s3":
+            batch_dict["encoded_spconv_tensor"] = x3
+            return batch_dict
 
         x4 = _SparseConvBNReLU(128, 3, 2, (0, 1, 1), "spconv", "spconv4",
                                out_capacity=caps["x_conv4"],
                                name="conv4_0")(x3, cache, train)
         x4 = SparseBasicBlock(128, "res4", use_bias, name="conv4_1")(x4, cache, train)
         x4 = SparseBasicBlock(128, "res4", use_bias, name="conv4_2")(x4, cache, train)
+        if stop_after == "s4":
+            batch_dict["encoded_spconv_tensor"] = x4
+            return batch_dict
 
         last_pad = self.model_cfg.get("last_pad", 0)
         out = _SparseConvBNReLU(128, (3, 1, 1), (2, 1, 1), last_pad, "spconv",
                                 "spconv_down2", out_capacity=caps["out"],
                                 name="conv_out")(x4, cache, train)
-        batch_dict["encoded_spconv_tensor"] = out
+        batch_dict["encoded_spconv_tensor"] = dequantize_tensor(out)
         batch_dict["encoded_spconv_tensor_stride"] = 8
+        # unused exports are DCE'd by XLA, so these dequants are free unless
+        # a downstream head actually consumes them
         batch_dict["multi_scale_3d_features"] = {
-            "x_conv1": x1, "x_conv2": x2, "x_conv3": x3, "x_conv4": x4}
+            "x_conv1": dequantize_tensor(x1), "x_conv2": dequantize_tensor(x2),
+            "x_conv3": dequantize_tensor(x3), "x_conv4": dequantize_tensor(x4)}
         batch_dict["multi_scale_3d_strides"] = {
             "x_conv1": 1, "x_conv2": 2, "x_conv3": 4, "x_conv4": 8}
         return batch_dict

@@ -100,18 +100,32 @@ class _SparseConvBase(nn.Module):
             if self.use_bias else None
         return w, b
 
-    def _quantize(self, features, weight, valid):
+    def _quantize(self, features, weight, valid, feat_scale=None):
         """-> (features, weight, out_scale|None, gemm_transform|None).
 
         Plain QConvNd path fake-quants features/weights up front;
         SmoothQuant (SQSubM2d parity) returns a per-column transform applied
         on the gather/im2col view inside gather_conv; int8 deploy emits int8
-        tensors + the output rescale factors.
+        tensors + the output rescale factors.  int8-residency inputs
+        (features already int8, ``feat_scale`` their dequant scale) skip the
+        activation quantizer entirely.
         """
         rules = get_active_rules()
         rule = rules.lookup(_dotted_path(self), self.KIND) if rules else None
         if rule is None:
+            if features.dtype == jnp.int8 and feat_scale is not None:
+                # excluded layer fed by a residency chain: dequantize
+                return (features.astype(jnp.float32) * feat_scale).astype(
+                    jnp.bfloat16), weight, None, None
             return features, weight, None, None
+        if (rule.deploy_int8 and features.dtype == jnp.int8
+                and feat_scale is not None):
+            wspec = dataclasses.replace(
+                rule.weight, axis=2 if rule.weight.axis is not None else None)
+            wq, s_w = TensorQuantizer(wspec, mode="int",
+                                      name="weight_quant")(weight)
+            out_scale = (feat_scale * s_w).reshape(1, -1)     # (1, Cout)
+            return features, wq, out_scale, None
         feats = features * valid[:, None]          # keep padding out of amax
         if rule.smoothquant is not None and not rule.deploy_int8:
             sq = rule.smoothquant
@@ -227,7 +241,8 @@ class _SubMConv(_SparseConvBase):
                     st, self.kernel_size, self.dilation)
                 if rulebook_cache is not None:
                     rulebook_cache[cache_key] = gather_idx
-        feats, w, out_scale, gt = self._quantize(st.features, w, st.valid)
+        feats, w, out_scale, gt = self._quantize(st.features, w, st.valid,
+                                                 st.feat_scale)
         if chunk is not None:
             out = engine.gather_conv_chunked(
                 feats, st.keys(), st.indices[:, -1],
@@ -238,7 +253,7 @@ class _SubMConv(_SparseConvBase):
                                      out_scale=out_scale, gemm_transform=gt)
         if b is not None:
             out = out + b
-        return st.replace(features=out)
+        return st.replace(features=out, feat_scale=None)
 
 
 class _SparseConv(_SparseConvBase):
@@ -289,7 +304,8 @@ class _SparseConv(_SparseConvBase):
                 chunk = engine.chunk_anchor_code(gather_idx, st.capacity)
                 if rulebook_cache is not None:
                     rulebook_cache["chunk|" + cache_key] = chunk
-        feats, w, out_scale, gt = self._quantize(st.features, w, st.valid)
+        feats, w, out_scale, gt = self._quantize(st.features, w, st.valid,
+                                                 st.feat_scale)
         if chunk is not None:
             out = engine.gather_conv_chunked(
                 feats, st.keys(), st.indices[:, -1],
@@ -306,6 +322,51 @@ class _SparseConv(_SparseConvBase):
                                 spatial_shape=out_spatial,
                                 batch_size=st.batch_size,
                                 sorted_rows=True)
+
+
+def residency_rule(block, conv_name, kind):
+    """The active int8-residency rule for a conv child of ``block`` (dotted
+    path lookup like the conv itself will do), or None.  Blocks use this to
+    decide whether to fold BN/ReLU/requant into the conv epilogue and emit
+    int8 features (deploy path; requires eval + static act scales)."""
+    rules = get_active_rules()
+    if rules is None:
+        return None
+    path = ".".join([str(p) for p in block.path] + [conv_name])
+    r = rules.lookup(path, kind)
+    if r is not None and r.deploy_int8 and r.int8_residency:
+        return r
+    return None
+
+
+def requant_epilogue(st, k, bias, act_spec, identity=None,
+                     relu=True, conv_bias=None, name="out_quant"):
+    """Shared residency epilogue: y = conv_out*k + b (BN fold) [+ identity]
+    [relu] -> per-tensor int8 requant.  All elementwise — XLA fuses it into
+    the GEMM output write, so the block never materializes an fp32/bf16
+    feature matrix.  Returns the int8 tensor with its feat_scale."""
+    y = st.features.astype(jnp.float32)
+    if conv_bias is not None:
+        y = y + conv_bias
+    y = y * k + bias
+    if identity is not None:
+        id_f = identity.features.astype(jnp.float32)
+        if identity.feat_scale is not None:
+            id_f = id_f * identity.feat_scale
+        y = y + id_f
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    y = y * st.valid[:, None]               # pads stay exactly zero
+    q, s = TensorQuantizer(act_spec, mode="int", name=name)(y)
+    return st.replace(features=q, feat_scale=s)
+
+
+def dequantize_tensor(st: SparseConvTensor, dtype=jnp.bfloat16):
+    """Exit an int8-residency chain: real-valued features again."""
+    if st.features.dtype == jnp.int8 and st.feat_scale is not None:
+        f = (st.features.astype(jnp.float32) * st.feat_scale).astype(dtype)
+        return st.replace(features=f, feat_scale=None)
+    return st
 
 
 class SubMConv3d(_SubMConv):
@@ -343,7 +404,8 @@ class SparseInverseConv3d(_SparseConvBase):
         gather_idx = engine.inverse_conv_indices(
             st, target_indices, target_spatial, self.kernel_size,
             self.stride, self.padding)
-        feats, w, out_scale, gt = self._quantize(st.features, w, st.valid)
+        feats, w, out_scale, gt = self._quantize(st.features, w, st.valid,
+                                                 st.feat_scale)
         out = engine.gather_conv(feats, gather_idx, w,
                                  out_valid=target_indices[:, 0] >= 0,
                                  out_scale=out_scale, gemm_transform=gt)
@@ -363,17 +425,27 @@ class SparseBatchNorm(nn.Module):
     """
     epsilon: float = 1e-3
     momentum: float = 0.01
+    # static channel count, required only for fold mode (st=None)
+    num_channels: Optional[int] = None
 
     @nn.compact
-    def __call__(self, st: SparseConvTensor, train: bool = False):
-        x = st.features
-        c = x.shape[-1]
+    def __call__(self, st: Optional[SparseConvTensor] = None,
+                 train: bool = False):
+        """st=None -> FOLD mode: declare the same params/stats and return the
+        eval-time affine constants (k, b) with y = x*k + b, so a caller can
+        fuse BN into a conv epilogue (int8-residency deploy path) while the
+        variable tree stays identical to the unfused graph."""
+        c = self.num_channels if st is None else st.features.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros(c, jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones(c, jnp.float32))
+        if st is None:
+            k = jax.lax.rsqrt(ra_var.value + self.epsilon) * scale
+            return k, bias - ra_mean.value * k
+        x = st.features
         if train:
             valid = st.valid
             n = jnp.maximum(valid.sum(), 1).astype(x.dtype)

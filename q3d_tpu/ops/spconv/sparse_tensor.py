@@ -50,6 +50,10 @@ class SparseConvTensor(struct.PyTreeNode):
     # the three consecutive-x taps of each kernel (.., ky) group are read as
     # ONE wide row of a rolled x-window matrix (engine.gather_conv_chunked).
     sorted_rows: bool = struct.field(pytree_node=False, default=False)
+    # int8-residency deploy mode: when features are int8, this is their
+    # per-tensor dequantization scale (real value = features * feat_scale).
+    # None = features are real-valued (fp32/bf16).
+    feat_scale: Optional[jnp.ndarray] = None
 
     @property
     def capacity(self):

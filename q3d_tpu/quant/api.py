@@ -67,11 +67,19 @@ def second_recipe(w_bits=8, act_bits=8, sq=True, alpha=0.5, static=False):
     return QuantRules(rules=base.rules, no_list=no_list)
 
 
-def int8_deploy_recipe(sq=False, alpha=0.5, static=False, extra_no_list=()):
+def int8_deploy_recipe(sq=False, alpha=0.5, static=False, extra_no_list=(),
+                       residency=False):
     """True-int8 execution for every backbone conv (sparse 3D + dense 2D):
     per-tensor dynamic act scales, per-out-channel weight scales, int8 MXU
     GEMMs with int32 accumulation.  Heads + first sparse conv stay FP,
-    matching the reference's accuracy-preserving exclusions."""
+    matching the reference's accuracy-preserving exclusions.
+
+    residency=True (implies static): features stay int8 across the sparse
+    backbone, with BN/ReLU/requant folded into conv epilogues — the fastest
+    deployment configuration.  REQUIRES calibration first (quantize_model ->
+    collect_stats -> compute_amax); uncalibrated static amax slots are zero
+    and produce garbage."""
+    static = static or residency
     dynamic = not static
     calib = "histogram" if static else "max"
     sparse_rule = LayerRule(
@@ -80,6 +88,7 @@ def int8_deploy_recipe(sq=False, alpha=0.5, static=False, extra_no_list=()):
         weight=QuantSpec(8, axis=0, dynamic=True),
         act=QuantSpec(8, axis=None, dynamic=dynamic, calibrator=calib),
         deploy_int8=True,
+        int8_residency=residency,
     )
     conv2d_rule = LayerRule(
         layer_kinds=("conv2d",),
@@ -197,6 +206,25 @@ def collect_stats(model, variables, rules, data_iter, num_batches=200,
                 print(f"calib batch {i}")
     variables["calib"] = jax.device_get(calib)
     return variables
+
+
+def prepare_int8_deploy(model, variables, example_batches, residency=True,
+                        method="max", recipe_kwargs=None):
+    """One-call int8 deployment prep: rules + calibrated variables.
+
+    example_batches: list of already-device-ready batch dicts (a single
+    representative batch repeated twice is enough for max calibration).
+    Returns (rules, deploy_variables) ready for
+    ``quant_rules_scope(rules): model.apply(deploy_variables, ...)``.
+    """
+    rules = int8_deploy_recipe(residency=residency,
+                               **(recipe_kwargs or {}))
+    qvars = quantize_model(model, variables, rules, example_batches[0])
+    qvars = collect_stats(model, qvars, rules, iter(example_batches),
+                          num_batches=len(example_batches),
+                          loader_to_device=lambda b: b)
+    qvars = compute_amax(qvars, method=method)
+    return rules, {k: v for k, v in qvars.items() if k != "calib"}
 
 
 def compute_amax(variables, method="entropy", **kwargs):

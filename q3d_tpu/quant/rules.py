@@ -45,6 +45,13 @@ class LayerRule:
     # instead of fake-quant; requires per-tensor act scales.  This is the
     # deployment path that realizes the reference's claimed 35% speedup.
     deploy_int8: bool = False
+    # True -> features STAY int8 between consecutive quantized sparse convs
+    # (``SparseConvTensor.feat_scale`` carries the per-tensor scale): each
+    # conv-BN-ReLU block folds BN (eval running stats) + ReLU + requantization
+    # into the GEMM epilogue and emits int8 directly, so window construction
+    # and rulebook gathers move 1-byte rows and no fp32 intermediate is ever
+    # materialized.  Requires deploy_int8 + STATIC (calibrated) act scales.
+    int8_residency: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -70,3 +70,23 @@ def test_int8_deploy_on_model(setup):
     fp = np.asarray(fp_out["final_scores"])
     assert np.isfinite(q).all()
     assert np.abs(fp - q).mean() < 0.05
+
+
+def test_int8_residency_deploy(setup):
+    """Static int8-residency deployment: calibrate, fold amax, run with
+    features staying int8 across the sparse backbone (BN/ReLU/requant in
+    the conv epilogues).  Must track the FP model as closely as the plain
+    per-layer int8 path does."""
+    cfg, model, variables, batch, loader, fp_out = setup
+    rules = quant_api.int8_deploy_recipe(residency=True)
+    qvars = quant_api.quantize_model(model, variables, rules, batch)
+    qvars = quant_api.collect_stats(model, qvars, rules, iter(loader),
+                                    num_batches=2)
+    qvars = quant_api.compute_amax(qvars, method="max")
+    with quant_rules_scope(rules):
+        q_out = model.apply(
+            {k: qvars[k] for k in qvars if k != "calib"}, batch, train=False)
+    q = np.asarray(q_out["final_scores"])
+    fp = np.asarray(fp_out["final_scores"])
+    assert np.isfinite(q).all()
+    assert np.abs(fp - q).mean() < 0.05

@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--host-rulebooks", action="store_true")
+    ap.add_argument("--no-residency", action="store_true",
+                    help="int8 without the int8-residency/BN-fold deploy path")
     args = ap.parse_args()
 
     import jax
@@ -66,12 +68,18 @@ def main():
             batch16["rulebooks"] = load_data_to_device(
                 {"rulebooks": books})["rulebooks"]
 
-    rules = int8_deploy_recipe() if args.quant == "int8" else None
-
     variables = jax.jit(
         lambda k, b: model.init(k, b, train=False))(jax.random.PRNGKey(0),
                                                     batch16)
     jax.block_until_ready(variables)
+    if args.quant == "int8":
+        from q3d_tpu.quant.api import prepare_int8_deploy
+        log("calibrating int8 deploy ...")
+        rules, variables = prepare_int8_deploy(
+            model, variables, [batch16] * 2, residency=not args.no_residency)
+        variables = jax.device_put(variables)
+    else:
+        rules = None
     log("init done")
 
     # ---- stage functions: each consumes the *fixed* output of the previous
