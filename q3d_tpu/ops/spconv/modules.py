@@ -30,6 +30,7 @@ from ...quant.rules import get_active_rules
 from ...quant.tensor_quant import TensorQuantizer
 from .sparse_tensor import SparseConvTensor
 from . import engine
+from . import pallas_conv
 
 
 def _dotted_path(module):
@@ -195,6 +196,21 @@ class _SparseConvBase(nn.Module):
         return feats, w, None, None
 
 
+def _get_chunk_prep(chunk, capacity, rulebook_cache, key):
+    """Cached pallas_conv.prepare_chunk for a rulebook (anchors/codes/
+    span starts are pure functions of the chunk table).  Returns None when
+    the one-hot kernel cannot apply, letting the wrapper fall back without
+    computing spans."""
+    if not pallas_conv.onehot_conv_available(capacity, 0):
+        return None
+    prep = rulebook_cache.get(key) if rulebook_cache is not None else None
+    if prep is None:
+        prep = pallas_conv.prepare_chunk(chunk, capacity)
+        if rulebook_cache is not None:
+            rulebook_cache[key] = prep
+    return prep
+
+
 def _get_probe(st, rulebook_cache):
     """Per-stage probe stack (engine.build_probe_stack), shared by every
     rulebook built from the same coordinate set.  Keyed by spatial shape —
@@ -244,10 +260,12 @@ class _SubMConv(_SparseConvBase):
         feats, w, out_scale, gt = self._quantize(st.features, w, st.valid,
                                                  st.feat_scale)
         if chunk is not None:
-            out = engine.gather_conv_chunked(
+            prep = _get_chunk_prep(chunk, st.capacity, rulebook_cache,
+                                   "prep|" + cache_key)
+            out = pallas_conv.gather_conv_chunked_fast(
                 feats, st.keys(), st.indices[:, -1],
                 int(st.spatial_shape[-1]), chunk, w,
-                out_scale=out_scale, gemm_transform=gt)
+                out_scale=out_scale, gemm_transform=gt, prep=prep)
         else:
             out = engine.gather_conv(feats, gather_idx, w,
                                      out_scale=out_scale, gemm_transform=gt)
@@ -307,11 +325,13 @@ class _SparseConv(_SparseConvBase):
         feats, w, out_scale, gt = self._quantize(st.features, w, st.valid,
                                                  st.feat_scale)
         if chunk is not None:
-            out = engine.gather_conv_chunked(
+            prep = _get_chunk_prep(chunk, st.capacity, rulebook_cache,
+                                   "prep|" + cache_key)
+            out = pallas_conv.gather_conv_chunked_fast(
                 feats, st.keys(), st.indices[:, -1],
                 int(st.spatial_shape[-1]), chunk, w,
                 out_valid=out_indices[:, 0] >= 0,
-                out_scale=out_scale, gemm_transform=gt)
+                out_scale=out_scale, gemm_transform=gt, prep=prep)
         else:
             out = engine.gather_conv(feats, gather_idx, w,
                                      out_valid=out_indices[:, 0] >= 0,

@@ -1,0 +1,393 @@
+"""One-hot span-gather sparse conv — a Pallas TPU kernel that replaces the
+row-gather hot loop of the sparse-conv engine with MXU matmuls.
+
+Why: XLA's row gather costs ~3.6 ns/row on v5e regardless of row width or
+dtype, and the chunked rulebook path needs G = K/3 gathered rows per output
+site — ~20 ms of pure gather issue latency across a CenterPoint backbone,
+dtype-independent (so int8 cannot beat bf16 there).  But chunk anchors are
+SORTED and spatially local: over a block of BM consecutive output sites, the
+anchors of one kernel-offset group fall inside a small contiguous span of
+the x-window matrix.  That turns the gather into
+
+    onehot(BM, S) @ span(S, W)            -- an MXU matmul
+
+followed by the code-realignment (channel shift by the anchor's position in
+its x-triple) and the conv GEMM against that offset's weight slice, all
+fused in one kernel.  The per-(block, offset) span is DMA'd by the Pallas
+pipeline (double-buffered across grid steps), so the kernel is MXU-bound —
+and therefore int8 runs ~2x bf16, unlike the latency-bound gather.
+
+Exactness: identical to ``engine.gather_conv_chunked`` whenever every
+anchor of a block lies within S rows of the block's span start.  The
+wrapper computes that predicate on-device and ``lax.cond``-selects the
+plain gather path for the (rare) violating convolutions, so results are
+exact on every input.
+
+Reference parity: this executes the same rulebooks as spconv's
+gather-GEMM-scatter (see engine.py); it is purely an execution-strategy
+change, invisible to models.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import engine
+
+# span granule (rows): span starts are quantized down to multiples of Q —
+# element-indexed BlockSpec starts stay tile-aligned for every dtype
+# (int8 sublane tile = 32)
+Q = 32
+# defaults; overridable per call
+DEFAULT_BM = 128          # output sites per block
+DEFAULT_S = 256           # span rows per (block, offset) — must be mult of Q
+
+
+def _kernel_v2(ss_ref, anchor_ref, code_ref, f3_hbm, w_ref, out_ref, *,
+               bm, s, gk, w_ch, c_ch, acc_dtype):
+    """One grid step per output block; the kernel loops over the G kernel-
+    offset groups internally with double-buffered span DMAs, so the per-
+    grid-step pipeline overhead is paid once per ~G*2 MXU matmuls instead
+    of once per matmul.  Span B (the post-jump anchor cluster) is fetched
+    and multiplied only for the (rare) blocks that need it.
+
+    ss_ref (scalar prefetch): (3, NB, G) int32 — [span_a_q, span_b_q,
+    use_b]; anchors outside both spans were routed to the overflow-COO
+    residual outside the kernel."""
+    i = pl.program_id(0)
+
+    def body(span_buf, acc_ref, sems):
+        def dma(g, slot, which):
+            s0 = ss_ref[which, i, g] * Q
+            return pltpu.make_async_copy(
+                f3_hbm.at[pl.ds(s0, s), :],
+                span_buf.at[2 * slot + which],
+                sems.at[2 * slot + which],
+            )
+
+        def start(g, slot, which, pred):
+            @pl.when(pred)
+            def _():
+                dma(g, slot, which).start()
+
+        def wait(g, slot, which, pred):
+            @pl.when(pred)
+            def _():
+                dma(g, slot, which).wait()
+
+        start(0, 0, 0, True)
+        start(0, 0, 1, ss_ref[2, i, 0] == 1)
+        for g in range(gk):                      # static unroll
+            slot = g % 2
+            nslot = 1 - slot
+            use_b = ss_ref[2, i, g] == 1
+            if g + 1 < gk:
+                start(g + 1, nslot, 0, True)
+                start(g + 1, nslot, 1, ss_ref[2, i, g + 1] == 1)
+            wait(g, slot, 0, True)
+            a = anchor_ref[g]                    # (BM,)
+            code = code_ref[g]
+            s0a = ss_ref[0, i, g] * Q
+            ila = a - s0a
+            in_a = (ila >= 0) & (ila < s)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (bm, s), 1)
+            span_a = span_buf[2 * slot]
+            oha = (iota == ila[:, None]).astype(span_a.dtype)
+            rows = jnp.dot(oha, span_a, preferred_element_type=acc_dtype)
+
+            wait(g, slot, 1, use_b)
+
+            def with_b():
+                s0b = ss_ref[1, i, g] * Q
+                ilb = jnp.where(in_a, -1, a - s0b)
+                ohb = (iota == ilb[:, None]).astype(span_a.dtype)
+                return rows + jnp.dot(ohb, span_buf[2 * slot + 1],
+                                      preferred_element_type=acc_dtype)
+
+            rows2 = jax.lax.cond(use_b, with_b, lambda: rows)
+            rows2 = rows2.astype(span_a.dtype)   # exact: selected values
+            # code realignment: shift right by code*C lanes (values shifted
+            # past the logical 3C width meet zero weight rows, so the
+            # full-width shift is safe)
+            z = jnp.zeros((bm, c_ch), span_a.dtype)
+            r1 = jnp.concatenate([z, rows2[:, :w_ch - c_ch]], axis=-1)
+            r2 = jnp.concatenate([z, z, rows2[:, :w_ch - 2 * c_ch]], axis=-1)
+            ccol = code[:, None]
+            rows2 = jnp.where(ccol == 1, r1, jnp.where(ccol == 2, r2, rows2))
+            contrib = jnp.dot(rows2, w_ref[g],
+                              preferred_element_type=acc_dtype)
+            if g == 0:
+                acc_ref[...] = contrib
+            else:
+                acc_ref[...] = acc_ref[...] + contrib
+        out_ref[...] = acc_ref[...]
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((4, s, w_ch), f3_hbm.dtype),
+        pltpu.VMEM((bm, out_ref.shape[-1]), acc_dtype),
+        pltpu.SemaphoreType.DMA((4,)),
+    )
+
+
+def _kernel_v3(ss_ref, anchor_ref, code_ref, f3_ref, w_ref, out_ref, *,
+               bm, s, gk, w_ch, c_ch, acc_dtype):
+    """VMEM-resident variant: the whole window matrix lives in VMEM, so a
+    span is a direct aligned dynamic-slice read — no DMA machinery, no
+    latency to hide.  Preferred whenever f3 fits (always for int8)."""
+    i = pl.program_id(0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (bm, s), 1)
+    acc = None
+    for g in range(gk):                          # static unroll
+        a = anchor_ref[g]                        # (BM,)
+        code = code_ref[g]
+        s0a = ss_ref[0, i, g] * Q
+        span_a = f3_ref[pl.ds(s0a, s), :]
+        ila = a - s0a
+        in_a = (ila >= 0) & (ila < s)
+        oha = (iota == ila[:, None]).astype(span_a.dtype)
+        rows = jnp.dot(oha, span_a, preferred_element_type=acc_dtype)
+        use_b = ss_ref[2, i, g] == 1
+
+        def with_b():
+            s0b = ss_ref[1, i, g] * Q
+            span_b = f3_ref[pl.ds(s0b, s), :]
+            ilb = jnp.where(in_a, -1, a - s0b)
+            ohb = (iota == ilb[:, None]).astype(span_b.dtype)
+            return rows + jnp.dot(ohb, span_b,
+                                  preferred_element_type=acc_dtype)
+
+        rows2 = jax.lax.cond(use_b, with_b, lambda: rows)
+        rows2 = rows2.astype(f3_ref.dtype)       # exact: selected values
+        z = jnp.zeros((bm, c_ch), f3_ref.dtype)
+        r1 = jnp.concatenate([z, rows2[:, :w_ch - c_ch]], axis=-1)
+        r2 = jnp.concatenate([z, z, rows2[:, :w_ch - 2 * c_ch]], axis=-1)
+        ccol = code[:, None]
+        rows2 = jnp.where(ccol == 1, r1, jnp.where(ccol == 2, r2, rows2))
+        contrib = jnp.dot(rows2, w_ref[g], preferred_element_type=acc_dtype)
+        acc = contrib if acc is None else acc + contrib
+    out_ref[...] = acc
+
+
+# f3 sizes up to this many bytes take the VMEM-direct kernel (v3); larger
+# ones stream spans by DMA (v2).  ~16 MB VMEM minus out/weight/temp room.
+VMEM_F3_LIMIT = 12 * 1024 * 1024
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("bm", "s", "cin", "interpret"))
+def _onehot_conv_call(f3, anchor, code, span_q, weight, bm, s, cin,
+                      interpret):
+    """f3 (Npad, Wpad); anchor/code (G, Mpad); span_q (3, NB, G) int32
+    [sa_q, sb_q, use_b]; weight (G, Wpad, Cout); cin = LOGICAL input
+    channels (the realignment shift) -> (Mpad, Cout) acc_dtype."""
+    gk, mpad = anchor.shape
+    w_ch = f3.shape[1]
+    cout = weight.shape[2]
+    nb = mpad // bm
+    acc_dtype = jnp.int32 if f3.dtype == jnp.int8 else jnp.float32
+    use_vmem = f3.size * f3.dtype.itemsize <= VMEM_F3_LIMIT
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((gk, bm), lambda i, ss: (0, i)),
+            pl.BlockSpec((gk, bm), lambda i, ss: (0, i)),
+            pl.BlockSpec(memory_space=pltpu.VMEM if use_vmem else pltpu.ANY),
+            pl.BlockSpec((gk, w_ch, cout), lambda i, ss: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, cout), lambda i, ss: (i, 0)),
+    )
+    kern = functools.partial(_kernel_v3 if use_vmem else _kernel_v2,
+                             bm=bm, s=s, gk=gk, w_ch=w_ch,
+                             c_ch=cin, acc_dtype=acc_dtype)
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mpad, cout), acc_dtype),
+        interpret=interpret,
+    )(span_q, anchor, code, f3, weight)
+
+
+def _pad_rows(x, mult, fill=0):
+    pad = (-x.shape[0]) % mult
+    if pad == 0:
+        return x
+    return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1),
+                   constant_values=fill)
+
+
+def split_chunk_table(chunk_idx, capacity):
+    """Combined chunk ids (anchor + code*N, 3N = miss) -> (anchor with -1
+    miss, code) int32 pairs.  Pure function of the rulebook — cache it."""
+    code = jnp.clip(chunk_idx // capacity, 0, 2).astype(jnp.int32)
+    anchor = chunk_idx - code * capacity
+    anchor = jnp.where(chunk_idx >= 3 * capacity, -1, anchor)
+    return anchor.astype(jnp.int32), code
+
+
+def block_spans(anchor, capacity, bm, s):
+    """Two span starts per (block, offset) + per-entry coverage.
+
+    anchor: (Mpad, G) with -1 miss.  Span A starts at the block's min
+    anchor; span B ends just past its max — together they cover every
+    block whose anchors form at most two clusters (the single z/y-row
+    crossing case that breaks one contiguous span).  Returns
+    (span_q (2, NB, G) int32 in Q-units, covered (Mpad, G) bool).  Anchors
+    not covered are handled by the overflow residual pass."""
+    mpad, gk = anchor.shape
+    nb = mpad // bm
+    a = anchor.reshape(nb, bm, gk)
+    big = jnp.int32(1 << 30)
+    amin = jnp.min(jnp.where(a < 0, big, a), axis=1)          # (NB, G)
+    amax = jnp.max(a, axis=1)                                 # -1 if all miss
+    npad_q = (capacity + Q - 1) // Q
+    hi = jnp.maximum(npad_q - s // Q, 0)
+    sa = jnp.clip(jnp.where(amin == big, 0, amin // Q), 0, hi)
+    # B covers [amax - S + 1, amax]: start = ceil((amax + 1 - s) / Q)
+    sb = jnp.clip(jnp.where(amax < 0, 0, (amax + 1 - s + Q - 1) // Q),
+                  0, hi)
+    in_a = (a >= sa[:, None, :] * Q) & (a < sa[:, None, :] * Q + s)
+    in_b = (a >= sb[:, None, :] * Q) & (a < sb[:, None, :] * Q + s)
+    # span B only earns its DMA + matmul when it covers anchors A misses
+    use_b = jnp.any(in_b & ~in_a & (a >= 0), axis=1).astype(jnp.int32)
+    covered = ((a < 0) | in_a | (in_b & use_b[:, None, :].astype(bool)))
+    covered = covered.reshape(mpad, gk)
+    return jnp.stack([sa, sb, use_b]), covered
+
+
+def overflow_entries(anchor, code, covered, cap):
+    """COO list of the rulebook entries the spans miss.
+
+    Returns (midx, ga, gcode, gslot, ok): (cap,) arrays — output row id,
+    anchor, code, offset group of each overflow entry (-1 padded) — and
+    ok = the list fit.  Pure function of the rulebook: cache it."""
+    mpad, gk = anchor.shape
+    ovf = (anchor >= 0) & ~covered                            # (Mpad, G)
+    flat = ovf.reshape(-1)
+    slots = jnp.cumsum(flat.astype(jnp.int32)) - 1
+    count = slots[-1] + 1
+    slot = jnp.where(flat & (slots < cap), slots, cap)
+    def fill(vals, init):
+        return jnp.full(cap + 1, init, jnp.int32).at[slot].set(vals)[:cap]
+    lin = jnp.arange(mpad * gk, dtype=jnp.int32)
+    midx = fill(lin // gk, -1)
+    ga = fill(anchor.reshape(-1), -1)
+    gcode = fill(code.reshape(-1), 0)
+    gslot = fill(lin % gk, 0)
+    return midx, ga, gcode, gslot, count <= cap
+
+
+def apply_overflow(acc, f3, w3, ovf, c_ch):
+    """Add the overflow entries' contributions to the kernel output.
+
+    acc (Mpad, Cout); f3 (N, W); w3 (G, W, Cout); ovf from
+    ``overflow_entries``.  ~cap row gathers + G small GEMMs + one
+    scatter-add — negligible next to the kernel."""
+    midx, ga, gcode, gslot, _ = ovf
+    rows = jnp.take(f3, ga, axis=0, mode="fill", fill_value=0)  # (cap, W)
+    w_ch = rows.shape[1]
+    z = jnp.zeros((rows.shape[0], c_ch), rows.dtype)
+    r1 = jnp.concatenate([z, rows[:, :w_ch - c_ch]], axis=-1)
+    r2 = jnp.concatenate([z, z, rows[:, :w_ch - 2 * c_ch]], axis=-1)
+    rows = jnp.where((gcode == 1)[:, None], r1,
+                     jnp.where((gcode == 2)[:, None], r2, rows))
+    contrib = jnp.zeros((rows.shape[0], acc.shape[1]), acc.dtype)
+    for g in range(w3.shape[0]):
+        mask = (gslot == g) & (midx >= 0)
+        rg = rows * mask[:, None].astype(rows.dtype)
+        contrib = contrib + jnp.dot(
+            rg, w3[g],
+            preferred_element_type=acc.dtype).astype(acc.dtype)
+    safe_m = jnp.where(midx >= 0, midx, acc.shape[0])
+    return acc.at[safe_m].add(contrib, mode="drop")
+
+
+def onehot_conv_available(capacity, w_ch, s=DEFAULT_S, bm=DEFAULT_BM):
+    """Static feasibility: span must fit inside the table."""
+    return capacity >= s and capacity >= bm
+
+
+def gather_conv_chunked_fast(features, keys, xcol, nx, chunk_idx, weight,
+                             out_valid=None, out_scale=None,
+                             preferred_dtype=jnp.float32, gemm_transform=None,
+                             bm=DEFAULT_BM, s=DEFAULT_S, interpret=None,
+                             prep=None, force_kernel=False):
+    """Drop-in accelerated ``engine.gather_conv_chunked``: one-hot span
+    kernel + exact overflow-COO residual.  Falls back to the plain gather
+    path (lax.cond) only when the overflow list overflows its capacity.
+
+    prep: optional cached result of ``prepare_chunk`` — pass it when
+    several convs share one rulebook.
+    """
+    if gemm_transform is not None:
+        return engine.gather_conv_chunked(
+            features, keys, xcol, nx, chunk_idx, weight, out_valid=out_valid,
+            out_scale=out_scale, preferred_dtype=preferred_dtype,
+            gemm_transform=gemm_transform)
+    n, cin = features.shape
+    m, gk = chunk_idx.shape
+    kk, _, cout = weight.shape
+    # measured v5e routing: the one-hot kernel's cycles scale with the
+    # 128-lane-padded span width regardless of C, so it only beats the row
+    # gather once the conv is wide (stage 3/4 of the voxel backbones, both
+    # dtypes); narrow stages stay on the gather path
+    wide_enough = cin >= 64 or force_kernel
+    if not (wide_enough and onehot_conv_available(n, 3 * cin, s, bm)):
+        return engine.gather_conv_chunked(
+            features, keys, xcol, nx, chunk_idx, weight, out_valid=out_valid,
+            out_scale=out_scale, preferred_dtype=preferred_dtype)
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+
+    if prep is None:
+        prep = prepare_chunk(chunk_idx, n, bm, s)
+    anchor, code, span_q, ovf, ok = prep
+
+    f3 = engine.x_window_matrix(features, keys, xcol, nx)     # (N, 3C)
+    f3p = _pad_rows(f3, Q)
+    w3 = weight.reshape(gk, 3 * cin, cout)
+    # lane-align the window width for Mosaic DMA slices (zero weight rows
+    # null out the pad lanes)
+    wp = (-(3 * cin) % 128)
+    f3k = jnp.pad(f3p, ((0, 0), (0, wp))) if wp else f3p
+    w3k = jnp.pad(w3, ((0, 0), (0, wp), (0, 0))) if wp else w3
+
+    def fast(_):
+        acc = _onehot_conv_call(f3k, anchor.T, code.T, span_q, w3k, bm, s,
+                                cin, interpret)
+        acc = apply_overflow(acc, f3, w3, ovf, cin)[:m]
+        return acc.astype(jnp.float32) if features.dtype == jnp.int8 \
+            else acc.astype(features.dtype)
+
+    def slow(_):
+        return engine.gather_conv_chunked(
+            features, keys, xcol, nx, chunk_idx, weight,
+            preferred_dtype=preferred_dtype)
+
+    out = jax.lax.cond(ok, fast, slow, operand=None)
+    if out_scale is not None:
+        out = out * out_scale
+    if out_valid is not None:
+        out = out * out_valid[:, None].astype(out.dtype)
+    return out
+
+
+def overflow_cap(m):
+    return max(2048, m // 4)
+
+
+def prepare_chunk(chunk_idx, capacity, bm=DEFAULT_BM, s=DEFAULT_S, cap=None):
+    """Split + pad a combined chunk table, compute its block spans and the
+    overflow-COO list.  Cache per rulebook (pure function of indices)."""
+    anchor, code = split_chunk_table(chunk_idx, capacity)
+    anchor = _pad_rows(anchor, bm, fill=-1)
+    code = _pad_rows(code, bm, fill=0)
+    span_q, covered = block_spans(anchor, capacity, bm, s)
+    ovf = overflow_entries(anchor, code, covered,
+                           cap or overflow_cap(chunk_idx.shape[0]))
+    return anchor, code, span_q, ovf, ovf[-1]
