@@ -64,23 +64,43 @@ def build_rulebooks(plan, voxel_coords, sparse_shape, res_backbone=False):
     if not native.available():
         return None
     spatial = tuple(int(s) for s in sparse_shape)
-    coords = _flatten_coords(np.asarray(voxel_coords), spatial)
+    coords = native.flatten_sort_coords(np.asarray(voxel_coords), spatial)
     out = {}
+
+    def _chunkable(k):
+        ks = k if hasattr(k, "__len__") else [k] * len(spatial)
+        return int(ks[-1]) == 3
+
     for step in plan:
         if step[0] == "subm":
             _, ikey, k, dil = step
-            gather = native.subm_rulebook(coords, spatial, k, dil)
-            out[subm_cache_key(ikey, spatial, k, dil)] = gather
-            if res_backbone:
-                # residual variant shares topology under its own indice_keys
-                for rk in _RES_KEYS.get(ikey, []):
-                    out[subm_cache_key(rk, spatial, k, dil)] = gather
+            if _chunkable(k):
+                # chunked anchor+code books feed the engine's chunk cache
+                # directly (3x less host work + transfer than (N, 27))
+                chunk = native.subm_chunk_rulebook(coords, spatial, k, dil)
+                keys = [ikey] + (_RES_KEYS.get(ikey, []) if res_backbone
+                                 else [])
+                for kk in keys:
+                    out["chunk|" + subm_cache_key(kk, spatial, k, dil)] = chunk
+            else:
+                gather = native.subm_rulebook(coords, spatial, k, dil)
+                keys = [ikey] + (_RES_KEYS.get(ikey, []) if res_backbone
+                                 else [])
+                for kk in keys:
+                    out[subm_cache_key(kk, spatial, k, dil)] = gather
         else:
             _, k, s, p, cap = step
             cap = cap or coords.shape[0]
-            oc, gather, out_spatial = native.downsample_rulebook(
-                coords, spatial, k, s, p, cap)
-            out[down_cache_key(spatial, k, s, p, cap)] = (oc, gather)
+            if _chunkable(k):
+                oc, chunk, out_spatial = native.downsample_chunk_rulebook(
+                    coords, spatial, k, s, p, cap)
+                # stored len-2: out_spatial is static math device-side
+                out["chunkdown|" + down_cache_key(spatial, k, s, p, cap)] = \
+                    (oc, chunk)
+            else:
+                oc, gather, out_spatial = native.downsample_rulebook(
+                    coords, spatial, k, s, p, cap)
+                out[down_cache_key(spatial, k, s, p, cap)] = (oc, gather)
             coords, spatial = oc, out_spatial
     return out
 

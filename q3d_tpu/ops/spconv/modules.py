@@ -305,7 +305,13 @@ class _SparseConv(_SparseConvBase):
                 if rulebook_cache is not None:
                     rulebook_cache["chunkdown|" + cache_key] = ck
                     rulebook_cache["coords_before|" + cache_key] = st.indices
-            out_indices, chunk, out_spatial = ck
+            if len(ck) == 2:      # host-planned (out_spatial = static math)
+                out_indices, chunk = ck
+                out_spatial = down_out_spatial(
+                    st.spatial_shape, self.kernel_size, self.stride,
+                    self.padding)
+            else:
+                out_indices, chunk, out_spatial = ck
         else:
             out_indices, gather_idx, out_spatial = engine.sparse_conv_downsample(
                 st, self.kernel_size, self.stride, self.padding,

@@ -60,6 +60,19 @@ def _load():
     lib.downsample_rulebook.argtypes = [i32p, ctypes.c_int64, ctypes.c_int,
                                         i32p, i32p, i32p, i32p, i32p,
                                         ctypes.c_int64, i32p, i32p]
+    lib.subm_chunk_rulebook.restype = ctypes.c_int
+    lib.subm_chunk_rulebook.argtypes = [i32p, ctypes.c_int64, ctypes.c_int,
+                                        i32p, i32p, i32p, i32p]
+    lib.downsample_chunk_rulebook.restype = ctypes.c_int
+    lib.downsample_chunk_rulebook.argtypes = [
+        i32p, ctypes.c_int64, ctypes.c_int, i32p, i32p, i32p, i32p, i32p,
+        ctypes.c_int64, i32p, i32p]
+    lib.downsample_chunk_rulebook2.restype = ctypes.c_int
+    lib.downsample_chunk_rulebook2.argtypes = \
+        lib.downsample_chunk_rulebook.argtypes
+    lib.flatten_sort_coords.restype = ctypes.c_int
+    lib.flatten_sort_coords.argtypes = [i32p, ctypes.c_int64, ctypes.c_int64,
+                                        ctypes.c_int, i32p, i32p]
     return lib
 
 
@@ -147,3 +160,71 @@ def downsample_rulebook(coords, spatial, kernel_size, stride, padding,
                           _i32(k), _i32(s), _i32(p), M, _i32(out_coords),
                           _i32(gather))
     return out_coords, gather, tuple(int(v) for v in out_sp)
+
+
+def subm_chunk_rulebook(coords, spatial, kernel_size, dilation=1):
+    """Chunked submanifold rulebook: (N, K/3) combined anchor+code table
+    (engine.chunk_anchor_code format; requires x-kernel 3, x-dilation 1)."""
+    l = _load()
+    assert l is not None
+    coords = np.ascontiguousarray(coords, np.int32)
+    n, w = coords.shape
+    nd = w - 1
+    k = np.ascontiguousarray(
+        kernel_size if hasattr(kernel_size, "__len__")
+        else [kernel_size] * nd, np.int32)
+    dil = np.ascontiguousarray(
+        dilation if hasattr(dilation, "__len__") else [dilation] * nd,
+        np.int32)
+    assert int(k[-1]) == 3 and int(dil[-1]) == 1
+    sp = np.ascontiguousarray(spatial, np.int32)
+    G = int(np.prod(k[:-1]))
+    gather = np.empty((n, G), np.int32)
+    l.subm_chunk_rulebook(_i32(coords), n, nd, _i32(sp), _i32(k), _i32(dil),
+                          _i32(gather))
+    return gather
+
+
+def downsample_chunk_rulebook(coords, spatial, kernel_size, stride, padding,
+                              out_capacity):
+    """Chunked strided-downsample rulebook:
+    -> (out_coords (M, 1+nd), chunk (M, K/3), out_spatial)."""
+    l = _load()
+    assert l is not None
+    coords = np.ascontiguousarray(coords, np.int32)
+    n, w = coords.shape
+    nd = w - 1
+
+    def vec(v):
+        return np.ascontiguousarray(
+            v if hasattr(v, "__len__") else [v] * nd, np.int32)
+
+    k, s, p = vec(kernel_size), vec(stride), vec(padding)
+    assert int(k[-1]) == 3
+    sp = np.ascontiguousarray(spatial, np.int32)
+    out_sp = np.ascontiguousarray(
+        [(int(sp[d]) + 2 * int(p[d]) - int(k[d])) // int(s[d]) + 1
+         for d in range(nd)], np.int32)
+    G = int(np.prod(k[:-1]))
+    M = int(out_capacity)
+    out_coords = np.empty((M, 1 + nd), np.int32)
+    chunk = np.empty((M, G), np.int32)
+    out_cells = int(np.prod(out_sp.astype(np.int64)))
+    fn = l.downsample_chunk_rulebook2 if out_cells <= (1 << 27) \
+        else l.downsample_chunk_rulebook
+    fn(_i32(coords), n, nd, _i32(sp), _i32(out_sp),
+       _i32(k), _i32(s), _i32(p), M, _i32(out_coords), _i32(chunk))
+    return out_coords, chunk, tuple(int(v) for v in out_sp)
+
+
+def flatten_sort_coords(voxel_coords, spatial):
+    """(B, V, nd) [z,y,x] int32 with -1 pads -> (B*V, 1+nd) key-sorted
+    [b,z,y,x] (native twin of host_planner._flatten_coords)."""
+    l = _load()
+    assert l is not None
+    vox = np.ascontiguousarray(voxel_coords, np.int32)
+    B, V, nd = vox.shape
+    sp = np.ascontiguousarray(spatial, np.int32)
+    out = np.empty((B * V, 1 + nd), np.int32)
+    l.flatten_sort_coords(_i32(vox), B, V, nd, _i32(sp), _i32(out))
+    return out

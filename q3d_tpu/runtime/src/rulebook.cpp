@@ -41,8 +41,12 @@ static void sort_rows(const int32_t* coords, int64_t n, int nd,
         for (int d = 0; d < nd; ++d) key = key * spatial[d] + c[1 + d];
         rows.push_back({key, (int32_t)i});
     }
-    std::sort(rows.begin(), rows.end(),
-              [](const Row& a, const Row& b) { return a.key < b.key; });
+    bool sorted = true;
+    for (size_t i = 1; i < rows.size(); ++i)
+        if (rows[i].key < rows[i - 1].key) { sorted = false; break; }
+    if (!sorted)
+        std::sort(rows.begin(), rows.end(),
+                  [](const Row& a, const Row& b) { return a.key < b.key; });
 }
 
 }  // namespace
@@ -197,6 +201,385 @@ int downsample_rulebook(const int32_t* coords, int64_t n, int nd,
     for (int64_t j = row_id + 1; j < m_cap; ++j) {
         int32_t* oc = out_coords + j * (1 + nd);
         for (int d = 0; d <= nd; ++d) oc[d] = -1;
+    }
+    return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// v3: CHUNKED rulebooks — emit the (rows, K/3) anchor+code tables the TPU
+// engine's chunked gather consumes directly (engine.chunk_anchor_code
+// format: entry = anchor_row + code * n_rows, all-miss = 3 * n_rows).
+// One merge pass per x-triple group instead of one per tap: ~3x less work
+// and 3x smaller output than the direct (rows, K) books.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Submanifold chunked rulebook.  Requires k[nd-1] == 3, dil[nd-1] == 1
+// (the engine's `chunkable` condition).  gather: (n, K/3) int32.
+int subm_chunk_rulebook(const int32_t* coords, int64_t n, int nd,
+                        const int32_t* spatial, const int32_t* k,
+                        const int32_t* dil, int32_t* gather) {
+    int G = 1;
+    for (int d = 0; d < nd - 1; ++d) G *= k[d];
+    const int32_t miss = (int32_t)(3 * n);
+    std::fill(gather, gather + n * G, miss);
+
+    std::vector<Row> rows;
+    sort_rows(coords, n, nd, spatial, rows);
+    const int64_t R = (int64_t)rows.size();
+    const int32_t nx = spatial[nd - 1];
+
+    std::vector<int64_t> stride(nd, 1);
+    for (int d = nd - 2; d >= 0; --d)
+        stride[d] = stride[d + 1] * spatial[d + 1];
+
+    std::vector<int32_t> off(nd - 1, 0), center(nd - 1), disp(nd - 1);
+    for (int d = 0; d < nd - 1; ++d) center[d] = (k[d] - 1) / 2;
+
+    // all G group cursors advance monotonically -> ONE pass over the rows
+    // serves every group (one coords load + G inline merge steps per row)
+    std::vector<int64_t> deltas(G);
+    std::vector<std::vector<int32_t>> disps(G, std::vector<int32_t>(nd - 1));
+    for (int g = 0; g < G; ++g) {
+        int64_t delta = 0;
+        for (int d = 0; d < nd - 1; ++d) {
+            disps[g][d] = (off[d] - center[d]) * dil[d];
+            delta += (int64_t)disps[g][d] * stride[d];
+        }
+        deltas[g] = delta;
+        for (int d = nd - 2; d >= 0; --d) {
+            if (++off[d] < k[d]) break;
+            off[d] = 0;
+        }
+    }
+    std::vector<int64_t> cur(G, 0);
+    for (int64_t a = 0; a < R; ++a) {
+        const int32_t* c = coords + (int64_t)rows[a].idx * (1 + nd);
+        const int32_t x = c[nd];
+        const int jlo = x == 0 ? 1 : 0;
+        const int jhi = x == nx - 1 ? 1 : 2;
+        int32_t* grow = gather + (int64_t)rows[a].idx * G;
+        for (int g = 0; g < G; ++g) {
+            bool ok = true;
+            for (int d = 0; d < nd - 1; ++d) {
+                int32_t v = c[1 + d] + disps[g][d];
+                if (v < 0 || v >= spatial[d]) { ok = false; break; }
+            }
+            if (!ok) continue;
+            const int64_t q = rows[a].key + deltas[g] - 1;
+            int64_t b = cur[g];
+            while (b < R && rows[b].key < q + jlo) ++b;
+            cur[g] = b;
+            if (b < R && rows[b].key <= q + jhi) {
+                const int32_t code = (int32_t)(rows[b].key - q);
+                grow[g] = rows[b].idx + code * (int32_t)n;
+            }
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"
+
+namespace {
+
+// LSD radix sort of int64 keys known to fit in `bits` bits (3 passes).
+static void radix_sort_keys(std::vector<int64_t>& keys) {
+    const size_t n = keys.size();
+    if (n < 2) return;
+    std::vector<int64_t> tmp(n);
+    const int B = 11;
+    const int64_t mask = (1 << B) - 1;
+    for (int pass = 0; pass < 3; ++pass) {
+        const int shift = pass * B;
+        size_t count[1 << B] = {0};
+        for (size_t i = 0; i < n; ++i)
+            ++count[(keys[i] >> shift) & mask];
+        size_t pos = 0;
+        size_t start[1 << B];
+        for (int v = 0; v < (1 << B); ++v) { start[v] = pos; pos += count[v]; }
+        for (size_t i = 0; i < n; ++i)
+            tmp[start[(keys[i] >> shift) & mask]++] = keys[i];
+        keys.swap(tmp);
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Strided downsample, chunked: out coords via radix-sorted candidate-key
+// dedup, then one merge pass per x-triple group.  Requires k[nd-1] == 3.
+// out keys must fit in 33 bits (radix on low 33).  gather: (m_cap, K/3).
+int downsample_chunk_rulebook(const int32_t* coords, int64_t n, int nd,
+                              const int32_t* spatial,
+                              const int32_t* out_spatial, const int32_t* k,
+                              const int32_t* s, const int32_t* p,
+                              int64_t m_cap, int32_t* out_coords,
+                              int32_t* gather) {
+    int G = 1;
+    for (int d = 0; d < nd - 1; ++d) G *= k[d];
+    const int32_t miss = (int32_t)(3 * n);
+    std::fill(gather, gather + m_cap * G, miss);
+
+    std::vector<Row> rows;
+    sort_rows(coords, n, nd, spatial, rows);
+    const int64_t R = (int64_t)rows.size();
+
+    // candidate output keys (dedup via radix sort)
+    std::vector<int32_t> ndelta(nd);
+    int DK = 1;
+    for (int d = 0; d < nd; ++d) {
+        ndelta[d] = (k[d] - 1) / s[d] + 1;
+        DK *= ndelta[d];
+    }
+    std::vector<int64_t> ckeys;
+    ckeys.reserve((size_t)R * DK);
+    std::vector<int32_t> delta(nd, 0), o(nd);
+    for (int dk = 0; dk < DK; ++dk) {
+        for (int64_t r = 0; r < R; ++r) {
+            const int32_t* c = coords + (int64_t)rows[r].idx * (1 + nd);
+            bool ok = true;
+            for (int d = 0; d < nd; ++d) {
+                int32_t ip = c[1 + d] + p[d];
+                o[d] = ip / s[d] - delta[d];
+                int32_t tap = ip - o[d] * s[d];
+                if (o[d] < 0 || o[d] >= out_spatial[d] || tap < 0 ||
+                    tap >= k[d]) { ok = false; break; }
+            }
+            if (!ok) continue;
+            int64_t key = c[0];
+            for (int d = 0; d < nd; ++d) key = key * out_spatial[d] + o[d];
+            ckeys.push_back(key);
+        }
+        for (int d = nd - 1; d >= 0; --d) {
+            if (++delta[d] < ndelta[d]) break;
+            delta[d] = 0;
+        }
+    }
+    radix_sort_keys(ckeys);
+
+    // unique -> out coords (ascending), capped at m_cap
+    int64_t m = 0;
+    int64_t last = -1;
+    std::vector<int64_t> okeys;
+    okeys.reserve(m_cap);
+    for (int64_t key : ckeys) {
+        if (key == last) continue;
+        last = key;
+        if (m >= m_cap) break;
+        int64_t rem = key;
+        int32_t* oc = out_coords + m * (1 + nd);
+        for (int d = nd - 1; d >= 0; --d) {
+            oc[1 + d] = (int32_t)(rem % out_spatial[d]);
+            rem /= out_spatial[d];
+        }
+        oc[0] = (int32_t)rem;
+        okeys.push_back(key);
+        ++m;
+    }
+    for (int64_t j = m; j < m_cap; ++j) {
+        int32_t* oc = out_coords + j * (1 + nd);
+        for (int d = 0; d <= nd; ++d) oc[d] = -1;
+    }
+
+    // chunk table: per group, merge out rows (ascending) vs input keys
+    std::vector<int64_t> istride(nd, 1);
+    for (int d = nd - 2; d >= 0; --d)
+        istride[d] = istride[d + 1] * spatial[d + 1];
+    const int32_t nx = spatial[nd - 1];
+
+    std::vector<int32_t> off(nd - 1, 0);
+    for (int g = 0; g < G; ++g) {
+        int64_t b = 0;
+        for (int64_t r = 0; r < m; ++r) {
+            const int32_t* oc = out_coords + r * (1 + nd);
+            int64_t base = oc[0];
+            bool ok = true;
+            for (int d = 0; d < nd - 1; ++d) {
+                int32_t v = oc[1 + d] * s[d] - p[d] + off[d];
+                if (v < 0 || v >= spatial[d]) { ok = false; break; }
+                base = base * spatial[d] + v;
+            }
+            if (!ok) continue;
+            const int32_t x0 = oc[nd] * s[nd - 1] - p[nd - 1];
+            base = base * nx + x0;                // tap (.., x0)
+            const int jlo = x0 < 0 ? -x0 : 0;
+            const int jhi = x0 + 2 >= nx ? nx - 1 - x0 : 2;
+            if (jlo > jhi) continue;
+            while (b < R && rows[b].key < base + jlo) ++b;
+            if (b < R && rows[b].key <= base + jhi) {
+                const int32_t code = (int32_t)(rows[b].key - base);
+                gather[r * G + g] = rows[b].idx + code * (int32_t)n;
+            }
+        }
+        for (int d = nd - 2; d >= 0; --d) {
+            if (++off[d] < k[d]) break;
+            off[d] = 0;
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// v4: byte-map downsample dedup (no candidate sort) + native coord
+// flatten/sort, shaving the last milliseconds off the per-frame host plan.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// (B, V, nd) [z, y, x] int32 with -1 pads -> (B*V, 1+nd) [b, z, y, x]
+// sorted ascending by linearized key, pads last.  Returns 0.
+int flatten_sort_coords(const int32_t* vox, int64_t bsz, int64_t v, int nd,
+                        const int32_t* spatial, int32_t* out) {
+    const int64_t n = bsz * v;
+    std::vector<Row> rows;
+    rows.reserve((size_t)n);
+    int64_t n_pad = 0;
+    for (int64_t b = 0; b < bsz; ++b) {
+        for (int64_t i = 0; i < v; ++i) {
+            const int32_t* c = vox + (b * v + i) * nd;
+            if (c[0] < 0) { ++n_pad; continue; }
+            int64_t key = b;
+            for (int d = 0; d < nd; ++d) key = key * spatial[d] + c[d];
+            rows.push_back({key, (int32_t)(b * v + i)});
+        }
+    }
+    std::sort(rows.begin(), rows.end(),
+              [](const Row& a, const Row& b) { return a.key < b.key; });
+    int64_t w = 0;
+    for (const Row& r : rows) {
+        const int32_t* c = vox + (int64_t)r.idx * nd;
+        int32_t* oc = out + w * (1 + nd);
+        oc[0] = (int32_t)(r.idx / v);
+        for (int d = 0; d < nd; ++d) oc[1 + d] = c[d];
+        ++w;
+    }
+    for (; w < n; ++w) {
+        int32_t* oc = out + w * (1 + nd);
+        for (int d = 0; d <= nd; ++d) oc[d] = -1;
+    }
+    return 0;
+}
+
+// Chunked strided downsample via byte-map dedup: out coords come from one
+// marking pass + one ascending scan of the (small) output grid — no
+// candidate vector, no sort.  Same contract as downsample_chunk_rulebook.
+int downsample_chunk_rulebook2(const int32_t* coords, int64_t n, int nd,
+                               const int32_t* spatial,
+                               const int32_t* out_spatial, const int32_t* k,
+                               const int32_t* s, const int32_t* p,
+                               int64_t m_cap, int32_t* out_coords,
+                               int32_t* gather) {
+    int G = 1;
+    for (int d = 0; d < nd - 1; ++d) G *= k[d];
+    const int32_t miss = (int32_t)(3 * n);
+    std::fill(gather, gather + m_cap * G, miss);
+
+    std::vector<Row> rows;
+    sort_rows(coords, n, nd, spatial, rows);
+    const int64_t R = (int64_t)rows.size();
+    int32_t bmax = 0;
+    for (int64_t r = 0; r < R; ++r)
+        bmax = std::max(bmax, coords[(int64_t)rows[r].idx * (1 + nd)]);
+
+    int64_t out_size = bmax + 1;
+    for (int d = 0; d < nd; ++d) out_size *= out_spatial[d];
+    std::vector<uint8_t> map((size_t)out_size, 0);
+
+    // row-major marking: the per-dim division happens once per row; the
+    // (up to 2^nd) reachable outputs are derived by per-dim decrements
+    std::vector<int32_t> ndelta(nd);
+    int DK = 1;
+    for (int d = 0; d < nd; ++d) {
+        ndelta[d] = (k[d] - 1) / s[d] + 1;
+        DK *= ndelta[d];
+    }
+    std::vector<int32_t> o0(nd), t0(nd), od(nd);
+    for (int64_t r = 0; r < R; ++r) {
+        const int32_t* c = coords + (int64_t)rows[r].idx * (1 + nd);
+        for (int d = 0; d < nd; ++d) {
+            int32_t ip = c[1 + d] + p[d];
+            o0[d] = ip / s[d];
+            t0[d] = ip - o0[d] * s[d];
+        }
+        for (int dk = 0; dk < DK; ++dk) {
+            int rem = dk;
+            bool ok = true;
+            int64_t key = c[0];
+            for (int d = 0; d < nd; ++d) {
+                const int32_t dd = rem % ndelta[d];
+                rem /= ndelta[d];
+                const int32_t ov = o0[d] - dd;
+                const int32_t tap = t0[d] + dd * s[d];
+                if (ov < 0 || ov >= out_spatial[d] || tap >= k[d]) {
+                    ok = false;
+                    break;
+                }
+                key = key * out_spatial[d] + ov;
+            }
+            if (ok) map[(size_t)key] = 1;
+        }
+    }
+
+    int64_t m = 0;
+    for (int64_t key = 0; key < out_size && m < m_cap; ++key) {
+        if (!map[(size_t)key]) continue;
+        int64_t rem = key;
+        int32_t* oc = out_coords + m * (1 + nd);
+        for (int d = nd - 1; d >= 0; --d) {
+            oc[1 + d] = (int32_t)(rem % out_spatial[d]);
+            rem /= out_spatial[d];
+        }
+        oc[0] = (int32_t)rem;
+        ++m;
+    }
+    for (int64_t j = m; j < m_cap; ++j) {
+        int32_t* oc = out_coords + j * (1 + nd);
+        for (int d = 0; d <= nd; ++d) oc[d] = -1;
+    }
+
+    const int32_t nx = spatial[nd - 1];
+    std::vector<int32_t> off(nd - 1, 0);
+    std::vector<std::vector<int32_t>> offs(G, std::vector<int32_t>(nd - 1));
+    for (int g = 0; g < G; ++g) {
+        for (int d = 0; d < nd - 1; ++d) offs[g][d] = off[d];
+        for (int d = nd - 2; d >= 0; --d) {
+            if (++off[d] < k[d]) break;
+            off[d] = 0;
+        }
+    }
+    std::vector<int64_t> cur(G, 0);
+    for (int64_t r = 0; r < m; ++r) {
+        const int32_t* oc = out_coords + r * (1 + nd);
+        const int32_t x0 = oc[nd] * s[nd - 1] - p[nd - 1];
+        const int jlo = x0 < 0 ? -x0 : 0;
+        const int jhi = x0 + 2 >= nx ? nx - 1 - x0 : 2;
+        if (jlo > jhi) continue;
+        int32_t* grow = gather + r * G;
+        for (int g = 0; g < G; ++g) {
+            int64_t base = oc[0];
+            bool ok = true;
+            for (int d = 0; d < nd - 1; ++d) {
+                int32_t vv = oc[1 + d] * s[d] - p[d] + offs[g][d];
+                if (vv < 0 || vv >= spatial[d]) { ok = false; break; }
+                base = base * spatial[d] + vv;
+            }
+            if (!ok) continue;
+            base = base * nx + x0;
+            int64_t b = cur[g];
+            while (b < R && rows[b].key < base + jlo) ++b;
+            cur[g] = b;
+            if (b < R && rows[b].key <= base + jhi) {
+                const int32_t code = (int32_t)(rows[b].key - base);
+                grow[g] = rows[b].idx + code * (int32_t)n;
+            }
+        }
     }
     return 0;
 }
