@@ -195,16 +195,17 @@ class CenterHead(nn.Module):
         return batch_dict
 
     def _predict(self, batch_dict, pred_dicts):
+        stacked = self._decode(pred_dicts)
+        self._nms(batch_dict, *stacked)
+
+    def _decode(self, pred_dicts):
+        """Phase 1 — per-head heatmap decode (hm channel counts differ per
+        head, so this stays a python loop).  Returns the stacked
+        (heads*batch) candidate sets."""
         cfg = self.model_cfg
         pp = cfg.POST_PROCESSING
-        nms_cfg = pp.NMS_CONFIG
         post_range = list(pp.POST_CENTER_LIMIT_RANGE)
-        head_order = list(cfg.SEPARATE_HEAD_CFG.HEAD_ORDER)
 
-        # Phase 1 — per-head decode (hm channel counts differ per head, so
-        # this stays a python loop); Phase 2 — ONE vmapped NMS over the
-        # stacked (heads*batch) candidate sets: a single greedy-suppression
-        # loop and one batched IoU instead of num_heads sequential ones.
         dec_boxes, dec_scores, dec_labels, dec_valid = [], [], [], []
         for idx, pred in enumerate(pred_dicts):
             ids = jnp.asarray(self.class_id_mapping_each_head[idx])
@@ -233,12 +234,19 @@ class CenterHead(nn.Module):
             dec_labels.append(labels)
             dec_valid.append(valid)
 
-        H = len(dec_boxes)
-        B = dec_boxes[0].shape[0]
         sb = jnp.concatenate(dec_boxes, axis=0)       # (H*B, K, box)
         ss = jnp.concatenate(dec_scores, axis=0)
         sl = jnp.concatenate(dec_labels, axis=0)
         sv = jnp.concatenate(dec_valid, axis=0)
+        return sb, ss, sl, sv
+
+    def _nms(self, batch_dict, sb, ss, sl, sv):
+        """Phase 2 — ONE vmapped NMS over the stacked (heads*batch)
+        candidate sets: a single greedy-suppression loop and one batched
+        IoU instead of num_heads sequential ones."""
+        nms_cfg = self.model_cfg.POST_PROCESSING.NMS_CONFIG
+        H = len(self.class_names_each_head)
+        B = sb.shape[0] // H
 
         def nms_one(boxes, scores, labels, valid):
             sel, sel_valid = model_nms_utils.class_agnostic_nms(

@@ -168,3 +168,26 @@ def test_boxes3d_nearest_bev_iou():
     b = np.array([[0, 0, 0, 2, 4, 1, np.pi / 2]], np.float32)  # same footprint
     iou = np.asarray(box_utils.boxes3d_nearest_bev_iou(a, b))
     np.testing.assert_allclose(iou[0, 0], 1.0, atol=1e-5)
+
+
+def test_wavefront_nms_equals_sequential():
+    """The wavefront-parallel greedy suppression must equal the sequential
+    K-step formulation on random IoU matrices (exactness of the level
+    decomposition)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from q3d_tpu.ops.iou3d_nms import iou3d_nms_utils as iu
+
+    rng = np.random.RandomState(0)
+    for trial in range(6):
+        K = [8, 33, 64, 128, 200, 64][trial]
+        m = rng.rand(K, K).astype(np.float32)
+        m = (m + m.T) / 2
+        valid = rng.rand(K) > (0.2 if trial % 2 else 0.0)
+        # high threshold -> sparse chains; low -> deep chains
+        for t in (0.9, 0.5, 0.2):
+            seq = np.asarray(iu._greedy_suppress_xla(
+                jnp.asarray(m), jnp.asarray(valid), t))
+            wav = np.asarray(iu._greedy_suppress_wavefront(
+                jnp.asarray(m), jnp.asarray(valid), t))
+            np.testing.assert_array_equal(seq, wav)
