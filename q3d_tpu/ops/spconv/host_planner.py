@@ -108,13 +108,39 @@ def build_rulebooks(plan, voxel_coords, sparse_shape, res_backbone=False):
 def build_for_backbone(backbone_name, model_cfg, grid_size, voxel_coords,
                        input_capacity):
     """Convenience: plan + build for a registered voxel backbone.  Returns
-    None for unsupported backbones (model falls back to device rulebooks)."""
+    None for unsupported backbones (model falls back to device rulebooks).
+
+    Uses the one-call C++ plan executor (native.build_voxel_backbone_books);
+    the final (3,1,1) z-compression book is intentionally absent — the
+    device builds it in ~0.5 ms while the host path saves ~2."""
     if backbone_name not in ("VoxelBackBone8x", "VoxelResBackBone8x"):
+        return None
+    from ...runtime import native
+    if not native.available():
         return None
     from ...models.backbones_3d.spconv_backbone import _capacity_schedule
     nx, ny, nz = (int(g) for g in grid_size)
     sparse_shape = (nz + 1, ny, nx)
     caps = _capacity_schedule(model_cfg, input_capacity)
-    plan = voxel_backbone_plan(sparse_shape, caps)
-    return build_rulebooks(plan, voxel_coords, sparse_shape,
-                           res_backbone=backbone_name == "VoxelResBackBone8x")
+    vox = np.asarray(voxel_coords)
+    n = vox.shape[0] * vox.shape[1]
+    cap_list = [caps.get("x_conv2") or n, caps.get("x_conv3") or n,
+                caps.get("x_conv4") or n]
+    books = native.build_voxel_backbone_books(vox, sparse_shape, cap_list)
+
+    res = backbone_name == "VoxelResBackBone8x"
+    out = {}
+    spatial = sparse_shape
+    ikeys = ["subm1", "subm2", "subm3", "subm4"]
+    pads = [1, 1, (0, 1, 1)]
+    for stage in range(4):
+        for kk in [ikeys[stage]] + (_RES_KEYS.get(ikeys[stage], [])
+                                    if res else []):
+            out["chunk|" + subm_cache_key(kk, spatial, 3, 1)] =                 books["subm"][stage]
+        if stage == 3:
+            break
+        oc, chunk = books["down"][stage]
+        out["chunkdown|" + down_cache_key(spatial, 3, 2, pads[stage],
+                                          cap_list[stage])] = (oc, chunk)
+        spatial = down_out_spatial(spatial, 3, 2, pads[stage])
+    return out

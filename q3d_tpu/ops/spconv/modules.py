@@ -260,12 +260,15 @@ class _SubMConv(_SparseConvBase):
         feats, w, out_scale, gt = self._quantize(st.features, w, st.valid,
                                                  st.feat_scale)
         if chunk is not None:
+            host_books = bool(rulebook_cache.get("__host__")) \
+                if rulebook_cache is not None else False
             prep = _get_chunk_prep(chunk, st.capacity, rulebook_cache,
-                                   "prep|" + cache_key)
+                                   "prep|" + cache_key) if host_books else None
             out = pallas_conv.gather_conv_chunked_fast(
                 feats, st.keys(), st.indices[:, -1],
                 int(st.spatial_shape[-1]), chunk, w,
-                out_scale=out_scale, gemm_transform=gt, prep=prep)
+                out_scale=out_scale, gemm_transform=gt, prep=prep,
+                allow_kernel=host_books)
         else:
             out = engine.gather_conv(feats, gather_idx, w,
                                      out_scale=out_scale, gemm_transform=gt)
@@ -331,13 +334,16 @@ class _SparseConv(_SparseConvBase):
         feats, w, out_scale, gt = self._quantize(st.features, w, st.valid,
                                                  st.feat_scale)
         if chunk is not None:
+            host_books = bool(rulebook_cache.get("__host__")) \
+                if rulebook_cache is not None else False
             prep = _get_chunk_prep(chunk, st.capacity, rulebook_cache,
-                                   "prep|" + cache_key)
+                                   "prep|" + cache_key) if host_books else None
             out = pallas_conv.gather_conv_chunked_fast(
                 feats, st.keys(), st.indices[:, -1],
                 int(st.spatial_shape[-1]), chunk, w,
                 out_valid=out_indices[:, 0] >= 0,
-                out_scale=out_scale, gemm_transform=gt, prep=prep)
+                out_scale=out_scale, gemm_transform=gt, prep=prep,
+                allow_kernel=host_books)
         else:
             out = engine.gather_conv(feats, gather_idx, w,
                                      out_valid=out_indices[:, 0] >= 0,

@@ -316,7 +316,8 @@ def gather_conv_chunked_fast(features, keys, xcol, nx, chunk_idx, weight,
                              out_valid=None, out_scale=None,
                              preferred_dtype=jnp.float32, gemm_transform=None,
                              bm=DEFAULT_BM, s=DEFAULT_S, interpret=None,
-                             prep=None, force_kernel=False):
+                             prep=None, force_kernel=False,
+                             allow_kernel=True):
     """Drop-in accelerated ``engine.gather_conv_chunked``: one-hot span
     kernel + exact overflow-COO residual.  Falls back to the plain gather
     path (lax.cond) only when the overflow list overflows its capacity.
@@ -336,7 +337,10 @@ def gather_conv_chunked_fast(features, keys, xcol, nx, chunk_idx, weight,
     # 128-lane-padded span width regardless of C, so it only beats the row
     # gather once the conv is wide (stage 3/4 of the voxel backbones, both
     # dtypes); narrow stages stay on the gather path
-    wide_enough = cin >= 64 or force_kernel
+    # the kernel also requires HOST-built rulebooks (allow_kernel): with
+    # device-built books the XLA scheduling of the prep + scalar-prefetch
+    # chain regresses badly (measured 2x on v5e), and the gather path wins
+    wide_enough = (cin >= 64 and allow_kernel) or force_kernel
     if not (wide_enough and onehot_conv_available(n, 3 * cin, s, bm)):
         return engine.gather_conv_chunked(
             features, keys, xcol, nx, chunk_idx, weight, out_valid=out_valid,

@@ -73,6 +73,9 @@ def _load():
     lib.flatten_sort_coords.restype = ctypes.c_int
     lib.flatten_sort_coords.argtypes = [i32p, ctypes.c_int64, ctypes.c_int64,
                                         ctypes.c_int, i32p, i32p]
+    lib.build_voxel_backbone_books.restype = ctypes.c_int
+    lib.build_voxel_backbone_books.argtypes = [
+        i32p, ctypes.c_int64, ctypes.c_int64, i32p, i32p] + [i32p] * 11
     return lib
 
 
@@ -228,3 +231,31 @@ def flatten_sort_coords(voxel_coords, spatial):
     out = np.empty((B * V, 1 + nd), np.int32)
     l.flatten_sort_coords(_i32(vox), B, V, nd, _i32(sp), _i32(out))
     return out
+
+
+def build_voxel_backbone_books(voxel_coords, sparse_shape, caps):
+    """One-call plan executor for the VoxelBackBone8x topology: 4 subm chunk
+    books + 3 strided chunk books (the (3,1,1) z-compression book is left to
+    the device).  caps: (cap2, cap3, cap4) downsample capacities.
+    Returns dict {"subm": [4 books], "down": [(coords, chunk) x3]}."""
+    l = _load()
+    assert l is not None
+    vox = np.ascontiguousarray(voxel_coords, np.int32)
+    B, V, nd = vox.shape
+    assert nd == 3
+    sp = np.ascontiguousarray(sparse_shape, np.int32)
+    caps = [int(c) for c in caps]
+    n = B * V
+    coords0 = np.empty((n, 4), np.int32)
+    ns = [n, caps[0], caps[1], caps[2]]
+    subm = [np.empty((ns[i], 9), np.int32) for i in range(4)]
+    dc = [np.empty((caps[i], 4), np.int32) for i in range(3)]
+    dch = [np.empty((caps[i], 9), np.int32) for i in range(3)]
+    l.build_voxel_backbone_books(
+        _i32(vox), B, V, _i32(sp), _i32(np.asarray(caps, np.int32)),
+        _i32(coords0),
+        _i32(subm[0]), _i32(dc[0]), _i32(dch[0]),
+        _i32(subm[1]), _i32(dc[1]), _i32(dch[1]),
+        _i32(subm[2]), _i32(dc[2]), _i32(dch[2]),
+        _i32(subm[3]))
+    return {"subm": subm, "down": list(zip(dc, dch))}
