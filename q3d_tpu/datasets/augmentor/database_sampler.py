@@ -4,8 +4,9 @@ Parity with reference ``datasets/augmentor/database_sampler.py`` (502 LoC):
 class-balanced sample groups ('Car:15'), PREPARE filters
 (filter_by_min_points / filter_by_difficulty), BEV collision rejection
 against scene + already-placed boxes, removal of scene points inside placed
-boxes, and point/annotation merging.  Omitted vs reference: shared-memory
-caching and road-plane lifting (flat ground assumed; hook kept).
+boxes (enlarged by ``REMOVE_EXTRA_WIDTH``), road-plane lifting
+(``USE_ROAD_PLANE``, reference ``put_boxes_on_road_planes`` :150-167), and
+point/annotation merging.  Omitted vs reference: shared-memory caching.
 
 Database format (built by ``tools/create_gt_database.py``): a pickle
 ``{class_name: [ {name, path, box3d_lidar (7,), num_points_in_gt,
@@ -72,6 +73,28 @@ class DataBaseSampler:
                              if x.get("difficulty", 0) not in removed_difficulty]
         return db_infos
 
+    # --------------------------- road-plane lift --------------------------
+
+    @staticmethod
+    def put_boxes_on_road_planes(gt_boxes, road_plane, calib):
+        """Drop each sampled box onto the ground plane (KITTI only).
+
+        The plane [a, b, c, d] lives in the camera (rect) frame: solve the
+        plane for the camera-y at each box center, convert back to lidar z,
+        and shift the box so its bottom face touches the plane.  Returns the
+        lifted boxes and per-box z shift ``mv_height`` (applied to the object
+        points too).  Reference: database_sampler.py:150-167.
+        """
+        gt_boxes = gt_boxes.copy()
+        a, b, c, d = road_plane
+        center_cam = calib.lidar_to_rect(gt_boxes[:, 0:3])
+        cur_height_cam = (-d - a * center_cam[:, 0] - c * center_cam[:, 2]) / b
+        center_cam[:, 1] = cur_height_cam
+        cur_lidar_height = calib.rect_to_lidar(center_cam)[:, 2]
+        mv_height = gt_boxes[:, 2] - gt_boxes[:, 5] / 2 - cur_lidar_height
+        gt_boxes[:, 2] -= mv_height
+        return gt_boxes, mv_height
+
     # ------------------------------ sampling ------------------------------
 
     def _sample_with_fixed_number(self, class_name, num):
@@ -106,6 +129,13 @@ class DataBaseSampler:
             samples = self._sample_with_fixed_number(class_name, num)
             cand_boxes = np.stack(
                 [np.asarray(s["box3d_lidar"], np.float32) for s in samples])
+            if self.sampler_cfg.get("USE_ROAD_PLANE", False) \
+                    and "road_plane" in data_dict:
+                lifted, _ = self.put_boxes_on_road_planes(
+                    cand_boxes[:, :7], data_dict["road_plane"],
+                    data_dict["calib"])
+                cand_boxes = cand_boxes.copy()
+                cand_boxes[:, :7] = lifted
             # collision check vs existing + already placed (BEV IoU > 0)
             occupied = np.concatenate(
                 [existing] + [b[None, :7] for b in placed_boxes], axis=0) \
@@ -122,6 +152,9 @@ class DataBaseSampler:
                 placed_boxes.append(box)
                 placed_names.append(class_name)
                 pts = obj_points.copy()
+                # db points are box-center-relative; the lifted center
+                # already carries -mv_height, so adding it places the object
+                # on the plane (reference shifts absolute points by -mv_h)
                 pts[:, :3] += box[None, :3]
                 placed_points.append(pts)
                 occupied = np.concatenate([occupied, box[None, :7]], axis=0)
@@ -129,8 +162,11 @@ class DataBaseSampler:
         if not placed_boxes:
             return data_dict
         placed_boxes = np.stack(placed_boxes)
-        # drop scene points inside the placed boxes, then merge
-        points = box_utils.remove_points_in_boxes3d(points, placed_boxes[:, :7])
+        # drop scene points inside the (enlarged) placed boxes, then merge
+        large = box_utils.enlarge_box3d(
+            placed_boxes[:, :7],
+            extra_width=self.sampler_cfg.get("REMOVE_EXTRA_WIDTH", (0, 0, 0)))
+        points = box_utils.remove_points_in_boxes3d(points, large)
         obj_pts = np.concatenate(placed_points, axis=0)
         if obj_pts.shape[1] < points.shape[1]:
             pad = np.zeros((len(obj_pts), points.shape[1] - obj_pts.shape[1]),

@@ -141,7 +141,7 @@ class VoxelBackBone8x(nn.Module):
     @nn.compact
     def __call__(self, batch_dict, train: bool = False):
         cache = dict(batch_dict.get("rulebooks", {}))
-        cache["__host__"] = bool(batch_dict.get("rulebooks"))
+        cache["__host_keys__"] = frozenset(batch_dict.get("rulebooks", {}))
         st = _make_input_tensor(batch_dict, self.sparse_shape)
         caps = _capacity_schedule(self.model_cfg, st.capacity)
         x = _SparseConvBNReLU(16, 3, 1, 1, "subm", "subm1",
@@ -207,7 +207,7 @@ class VoxelResBackBone8x(nn.Module):
     @nn.compact
     def __call__(self, batch_dict, train: bool = False, stop_after=None):
         cache = dict(batch_dict.get("rulebooks", {}))
-        cache["__host__"] = bool(batch_dict.get("rulebooks"))
+        cache["__host_keys__"] = frozenset(batch_dict.get("rulebooks", {}))
         use_bias = bool(self.model_cfg.get("USE_BIAS", False))
         st = _make_input_tensor(batch_dict, self.sparse_shape)
         caps = _capacity_schedule(self.model_cfg, st.capacity)

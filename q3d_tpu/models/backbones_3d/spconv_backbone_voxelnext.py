@@ -100,7 +100,8 @@ class VoxelResBackBone8xVoxelNeXt(nn.Module):
         ks = list(cfg.get("SPCONV_KERNEL_SIZES", [3, 3, 3, 3]))
         ch = list(cfg.get("CHANNELS", [16, 32, 64, 128, 128]))
         out_ch = int(cfg.get("OUT_CHANNEL", 128))
-        cache = {}
+        cache = dict(batch_dict.get("rulebooks", {}))
+        cache["__host_keys__"] = frozenset(batch_dict.get("rulebooks", {}))
         st = _make_input_tensor(batch_dict, self.sparse_shape)
         x = _SparseConvBNReLU(ch[0], 3, 1, 1, "subm", "subm1",
                               name="conv_input")(st, cache, train)

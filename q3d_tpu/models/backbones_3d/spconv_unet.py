@@ -65,7 +65,8 @@ class UNetV2(nn.Module):
 
     @nn.compact
     def __call__(self, batch_dict, train: bool = False):
-        cache = {}
+        cache = dict(batch_dict.get("rulebooks", {}))
+        cache["__host_keys__"] = frozenset(batch_dict.get("rulebooks", {}))
         st = _make_input_tensor(batch_dict, self.sparse_shape)
         x = _SparseConvBNReLU(16, 3, 1, 1, "subm", "subm1",
                               name="conv_input")(st, cache, train)

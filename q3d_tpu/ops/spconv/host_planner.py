@@ -36,18 +36,20 @@ def _flatten_coords(voxel_coords, sparse_shape):
     return flat[np.argsort(key, kind="stable")]
 
 
-def voxel_backbone_plan(sparse_shape, caps):
+def voxel_backbone_plan(sparse_shape, caps, res_backbone=False):
     """Stage plan shared by VoxelBackBone8x / VoxelResBackBone8x (same
     coordinate topology: subm stage 1, three k3 strided convs, a (3,1,1)
     z-compression).  caps: dict from _capacity_schedule."""
+    def keys(i):
+        return [f"subm{i}"] + ([f"res{i}"] if res_backbone else [])
     return [
-        ("subm", "subm1", 3, 1),
+        ("subm", keys(1), 3, 1),
         ("down", 3, 2, 1, caps.get("x_conv2")),
-        ("subm", "subm2", 3, 1),
+        ("subm", keys(2), 3, 1),
         ("down", 3, 2, 1, caps.get("x_conv3")),
-        ("subm", "subm3", 3, 1),
+        ("subm", keys(3), 3, 1),
         ("down", 3, 2, (0, 1, 1), caps.get("x_conv4")),
-        ("subm", "subm4", 3, 1),
+        ("subm", keys(4), 3, 1),
         ("down", (3, 1, 1), (2, 1, 1), 0, caps.get("out")),
     ]
 
@@ -56,8 +58,51 @@ _RES_KEYS = {"subm1": ["res1"], "subm2": ["res2"], "subm3": ["res3"],
              "subm4": ["res4"]}
 
 
-def build_rulebooks(plan, voxel_coords, sparse_shape, res_backbone=False):
+def voxelnext_plan(model_cfg):
+    """Stage plan for VoxelResBackBone8xVoxelNeXt: residual stages to stride
+    8 plus conv5/conv6 extra downsamples.  All downsample out_capacities are
+    None (inherit input capacity — the module's default).  The 2D conv_out /
+    shared_conv books depend on the device-computed bev_sum_pool coordinate
+    set and stay on the device."""
+    ks = [int(k) for k in model_cfg.get("SPCONV_KERNEL_SIZES", [3, 3, 3, 3])]
+    plan = [("subm", ["subm1", "res1"], 3, 1)]
+    for stage, k in zip(range(2, 7), [ks[0], ks[1], ks[2], ks[3], ks[3]]):
+        plan.append(("down", k, 2, k // 2, None))
+        plan.append(("subm", [f"res{stage}"], 3, 1))
+    return plan
+
+
+def unet_plan(caps):
+    """UNetV2: VoxelBackBone8x encoder + decoder subm books.  Decoder
+    ``conv_m``/``conv_t`` layers run on the SAME coordinate sets as encoder
+    stages (inverse convs restore the pre-downsample indices), so their
+    books are aliases: up4_* at stride 8 (= subm4's set), up3_* at stride 4,
+    up2_* at stride 2.  The stride-1 ``conv5`` reuses indice_key subm1
+    directly.  Inverse-conv rulebooks themselves are built on device (not
+    cached by the module)."""
+    plan = [
+        ("subm", ["subm1"], 3, 1),
+        ("down", 3, 2, 1, caps.get("x_conv2")),
+        ("subm", ["subm2", "up2_m", "up2_t"], 3, 1),
+        ("down", 3, 2, 1, caps.get("x_conv3")),
+        ("subm", ["subm3", "up3_m", "up3_t"], 3, 1),
+        ("down", 3, 2, (0, 1, 1), caps.get("x_conv4")),
+        ("subm", ["subm4", "up4_m", "up4_t"], 3, 1),
+        ("down", (3, 1, 1), (2, 1, 1), 0, caps.get("out")),
+    ]
+    return plan
+
+
+def build_rulebooks(plan, voxel_coords, sparse_shape):
     """Execute a plan on host.  voxel_coords: (B, V, nd) numpy.
+
+    Plan steps:
+      ("subm", [indice_keys], kernel, dilation)
+      ("down", kernel, stride, padding, out_capacity_param)
+    where ``out_capacity_param`` is the MODULE's out_capacity (possibly
+    None); the cache key embeds the param while the actual table capacity
+    falls back to the current voxel count (the module's inherit rule).
+
     Returns {cache_key: np arrays} for SparseConvTensor rulebook_cache
     seeding, or None when the native library is unavailable."""
     from ...runtime import native
@@ -73,34 +118,30 @@ def build_rulebooks(plan, voxel_coords, sparse_shape, res_backbone=False):
 
     for step in plan:
         if step[0] == "subm":
-            _, ikey, k, dil = step
+            _, ikeys, k, dil = step
             if _chunkable(k):
                 # chunked anchor+code books feed the engine's chunk cache
                 # directly (3x less host work + transfer than (N, 27))
                 chunk = native.subm_chunk_rulebook(coords, spatial, k, dil)
-                keys = [ikey] + (_RES_KEYS.get(ikey, []) if res_backbone
-                                 else [])
-                for kk in keys:
+                for kk in ikeys:
                     out["chunk|" + subm_cache_key(kk, spatial, k, dil)] = chunk
             else:
                 gather = native.subm_rulebook(coords, spatial, k, dil)
-                keys = [ikey] + (_RES_KEYS.get(ikey, []) if res_backbone
-                                 else [])
-                for kk in keys:
+                for kk in ikeys:
                     out[subm_cache_key(kk, spatial, k, dil)] = gather
         else:
-            _, k, s, p, cap = step
-            cap = cap or coords.shape[0]
+            _, k, s, p, cap_param = step
+            cap = cap_param or coords.shape[0]
             if _chunkable(k):
                 oc, chunk, out_spatial = native.downsample_chunk_rulebook(
                     coords, spatial, k, s, p, cap)
                 # stored len-2: out_spatial is static math device-side
-                out["chunkdown|" + down_cache_key(spatial, k, s, p, cap)] = \
-                    (oc, chunk)
+                out["chunkdown|" + down_cache_key(spatial, k, s, p,
+                                                  cap_param)] = (oc, chunk)
             else:
                 oc, gather, out_spatial = native.downsample_rulebook(
                     coords, spatial, k, s, p, cap)
-                out[down_cache_key(spatial, k, s, p, cap)] = (oc, gather)
+                out[down_cache_key(spatial, k, s, p, cap_param)] = (oc, gather)
             coords, spatial = oc, out_spatial
     return out
 
@@ -110,15 +151,26 @@ def build_for_backbone(backbone_name, model_cfg, grid_size, voxel_coords,
     """Convenience: plan + build for a registered voxel backbone.  Returns
     None for unsupported backbones (model falls back to device rulebooks).
 
-    Uses the one-call C++ plan executor (native.build_voxel_backbone_books);
-    the final (3,1,1) z-compression book is intentionally absent — the
-    device builds it in ~0.5 ms while the host path saves ~2."""
-    if backbone_name not in ("VoxelBackBone8x", "VoxelResBackBone8x"):
-        return None
+    VoxelBackBone8x / VoxelResBackBone8x use the one-call C++ plan executor
+    (native.build_voxel_backbone_books); the final (3,1,1) z-compression
+    book is intentionally absent — the device builds it in ~0.5 ms while
+    the host path saves ~2.  VoxelResBackBone8xVoxelNeXt and UNetV2 run the
+    generic per-step plan builder."""
     from ...runtime import native
     if not native.available():
         return None
     from ...models.backbones_3d.spconv_backbone import _capacity_schedule
+    if backbone_name == "VoxelResBackBone8xVoxelNeXt":
+        nx, ny, nz = (int(g) for g in grid_size)
+        return build_rulebooks(voxelnext_plan(model_cfg), voxel_coords,
+                               (nz + 1, ny, nx))
+    if backbone_name == "UNetV2":
+        # UNetV2's modules pass no out_capacity (inherit) — keys use None
+        nx, ny, nz = (int(g) for g in grid_size)
+        return build_rulebooks(unet_plan({}), voxel_coords,
+                               (nz + 1, ny, nx))
+    if backbone_name not in ("VoxelBackBone8x", "VoxelResBackBone8x"):
+        return None
     nx, ny, nz = (int(g) for g in grid_size)
     sparse_shape = (nz + 1, ny, nx)
     caps = _capacity_schedule(model_cfg, input_capacity)

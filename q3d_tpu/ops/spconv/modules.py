@@ -196,6 +196,16 @@ class _SparseConvBase(nn.Module):
         return feats, w, None, None
 
 
+def _is_host_key(rulebook_cache, key):
+    """True when ``key``'s rulebook was HOST-planned (seeded via
+    batch_dict['rulebooks'], recorded under '__host_keys__').  The one-hot
+    Pallas kernel only engages for host books: with device-built books the
+    XLA scheduling of the prep + scalar-prefetch chain regresses ~2x."""
+    if rulebook_cache is None:
+        return False
+    return key in rulebook_cache.get("__host_keys__", ())
+
+
 def _get_chunk_prep(chunk, capacity, rulebook_cache, key):
     """Cached pallas_conv.prepare_chunk for a rulebook (anchors/codes/
     span starts are pure functions of the chunk table).  Returns None when
@@ -260,8 +270,7 @@ class _SubMConv(_SparseConvBase):
         feats, w, out_scale, gt = self._quantize(st.features, w, st.valid,
                                                  st.feat_scale)
         if chunk is not None:
-            host_books = bool(rulebook_cache.get("__host__")) \
-                if rulebook_cache is not None else False
+            host_books = _is_host_key(rulebook_cache, "chunk|" + cache_key)
             prep = _get_chunk_prep(chunk, st.capacity, rulebook_cache,
                                    "prep|" + cache_key) if host_books else None
             out = pallas_conv.gather_conv_chunked_fast(
@@ -334,8 +343,8 @@ class _SparseConv(_SparseConvBase):
         feats, w, out_scale, gt = self._quantize(st.features, w, st.valid,
                                                  st.feat_scale)
         if chunk is not None:
-            host_books = bool(rulebook_cache.get("__host__")) \
-                if rulebook_cache is not None else False
+            host_books = _is_host_key(rulebook_cache,
+                                      "chunkdown|" + cache_key)
             prep = _get_chunk_prep(chunk, st.capacity, rulebook_cache,
                                    "prep|" + cache_key) if host_books else None
             out = pallas_conv.gather_conv_chunked_fast(

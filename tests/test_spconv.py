@@ -241,6 +241,52 @@ def test_host_rulebooks_match_engine():
                                atol=1e-5)
 
 
+def test_host_rulebooks_voxelnext():
+    """Generic host plan for VoxelResBackBone8xVoxelNeXt (conv5/conv6 extra
+    stages, res-block indice keys) must reproduce the device result."""
+    import jax
+    import numpy as np
+    from pathlib import Path
+    from q3d_tpu.config import cfg_from_yaml_file, EDict
+    from q3d_tpu.datasets import build_dataloader
+    from q3d_tpu.models import build_network, load_data_to_device
+    from q3d_tpu.ops.spconv import host_planner
+    from q3d_tpu.runtime import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+
+    cfg_path = Path(__file__).resolve().parent.parent / \
+        "tools/cfgs/synthetic_models/voxelnext_tiny.yaml"
+    cfg = cfg_from_yaml_file(str(cfg_path), EDict())
+    dataset, loader, _ = build_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=2, training=False)
+    model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
+                          dataset=dataset)
+    raw = next(iter(loader))
+    batch = load_data_to_device(raw)
+
+    def run(m, b):
+        b = dict(b)
+        b = m.vfe(b, False)
+        b = m.backbone_3d(b, False)
+        st = b["encoded_spconv_tensor"]
+        return st.features * st.valid[:, None]
+
+    v = jax.jit(lambda k, b: model.init(k, b, train=False))(
+        jax.random.PRNGKey(0), batch)
+    ref = model.apply(v, batch, method=run)
+
+    B, V = raw["voxel_coords"].shape[:2]
+    books = host_planner.build_for_backbone(
+        cfg.MODEL.BACKBONE_3D.NAME, cfg.MODEL.BACKBONE_3D,
+        dataset.grid_size, raw["voxel_coords"], B * V)
+    assert books is not None and len(books) >= 11
+    batch2 = load_data_to_device({**raw, "rulebooks": books})
+    got = model.apply(v, batch2, method=run)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-5)
+
+
 @pytest.mark.parametrize("seed", [0, 3])
 def test_chunked_gather_matches_direct_subm(seed):
     """gather_conv_chunked (anchored x-window rows) must be bit-equal to the

@@ -96,6 +96,51 @@ def test_augmentor_consistency():
         assert flags.sum() == 50, "augmentation broke point-box consistency"
 
 
+def test_gt_sampler_road_plane_lift(tmp_path):
+    """USE_ROAD_PLANE drops sampled boxes onto the camera-frame ground plane
+    (reference database_sampler.py:150-167): box bottom ends on the plane
+    and points move with the box."""
+    import pickle
+    from q3d_tpu.datasets.augmentor.database_sampler import DataBaseSampler
+    from q3d_tpu.config import EDict
+
+    # identity-ish calib: rect frame = (x=-y_l, y=-z_l, z=x_l)
+    class FakeCalib:
+        def lidar_to_rect(self, pts):
+            return np.stack([-pts[:, 1], -pts[:, 2], pts[:, 0]], axis=1)
+
+        def rect_to_lidar(self, pts):
+            return np.stack([pts[:, 2], -pts[:, 0], -pts[:, 1]], axis=1)
+
+    obj = np.zeros((20, 4), np.float32)
+    obj[:, 2] = np.linspace(-1, 1, 20)  # center-relative z spread
+    np.save(tmp_path / "car0.npy", obj)
+    db = {"Car": [{"name": "Car", "path": "car0.npy",
+                   "box3d_lidar": np.array([10, 0, 5.0, 4, 2, 2, 0],
+                                           np.float32),
+                   "num_points_in_gt": 20, "difficulty": 0}]}
+    with open(tmp_path / "db.pkl", "wb") as f:
+        pickle.dump(db, f)
+
+    cfg = EDict(DB_INFO_PATH=["db.pkl"], SAMPLE_GROUPS=["Car:1"],
+                USE_ROAD_PLANE=True, PREPARE=EDict())
+    sampler = DataBaseSampler(tmp_path, cfg, ["Car"])
+    # camera-frame plane y = -1  <=>  lidar z = 1 (b=1: -d - 0 - 0 = -1)
+    data = {"gt_boxes": np.zeros((0, 7), np.float32),
+            "gt_names": np.array([], dtype="<U10"),
+            "points": np.zeros((1, 4), np.float32) + 50,
+            "road_plane": np.array([0.0, 1.0, 0.0, 1.0]),
+            "calib": FakeCalib()}
+    out = sampler(data)
+    assert len(out["gt_boxes"]) == 1
+    box = out["gt_boxes"][0]
+    # bottom face (z - dz/2) must rest on lidar z = 1
+    assert abs((box[2] - box[5] / 2) - 1.0) < 1e-5
+    # points moved with the box: centered on the lifted z
+    zs = out["points"][:-1, 2]
+    assert abs(zs.mean() - box[2]) < 1e-5
+
+
 def test_qat_train_step_reduces_loss():
     """Training under fake-quant rules (QAT) must also learn (STE works)."""
     from q3d_tpu.quant.api import pointpillar_recipe
