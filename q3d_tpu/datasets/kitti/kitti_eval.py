@@ -187,15 +187,22 @@ def _compute_statistics(overlaps, gt_anno, dt_anno, ignored_gt, ignored_dt,
             if not (assigned[j] or ignored_dt[j] == -1
                     or ignored_dt[j] == 1 or ignored_threshold[j]):
                 fp += 1
-        # dontcare absorption (bbox metric only)
+        # dontcare absorption (bbox metric only): unassigned positive-class
+        # detections overlapping a DontCare region are not false positives
+        # (official eval.py:248-262 — each det absorbed at most once)
         if metric == 0 and len(dc_bboxes):
             dt_bboxes = dt_anno["bbox"]
             ov = image_box_overlap(dt_bboxes, dc_bboxes, criterion=0)
-            for j in range(num_dt):
-                if assigned[j] or ignored_dt[j] != 0 or ignored_threshold[j]:
-                    continue
-                if len(dc_bboxes) and ov[j].max() > min_overlap:
-                    fp -= 0  # official subtracts via nstuff; simplified
+            nstuff = 0
+            for i in range(len(dc_bboxes)):
+                for j in range(num_dt):
+                    if assigned[j] or ignored_dt[j] in (-1, 1) \
+                            or ignored_threshold[j]:
+                        continue
+                    if ov[j, i] > min_overlap:
+                        assigned[j] = True
+                        nstuff += 1
+            fp -= nstuff
     return tp, fp, fn, thresholds
 
 

@@ -16,6 +16,35 @@ import numpy as np
 from ...utils import common_utils
 from ..dataset import DatasetTemplate
 
+# most-common attribute per class (reference nuscenes_utils.cls_attr_dist
+# argmax) for stationary/unknown cases
+_STATIC_ATTR = {
+    "car": "vehicle.parked", "truck": "vehicle.parked",
+    "trailer": "vehicle.parked", "bus": "vehicle.stopped",
+    "construction_vehicle": "vehicle.parked",
+    "bicycle": "cycle.without_rider", "motorcycle": "cycle.without_rider",
+    "pedestrian": "pedestrian.standing",
+}
+
+
+def default_attributes(boxes, names):
+    """Velocity-heuristic attribute defaulting (reference
+    nuscenes_utils.py:525-541): moving vehicles -> vehicle.moving, moving
+    cycles -> cycle.with_rider, else the class's most common attribute."""
+    attrs = []
+    for box, name in zip(boxes, names):
+        speed = float(np.linalg.norm(box[7:9])) if len(box) >= 9 else 0.0
+        if speed > 0.2:
+            if name in ("car", "construction_vehicle", "bus", "truck",
+                        "trailer"):
+                attrs.append("vehicle.moving")
+                continue
+            if name in ("bicycle", "motorcycle"):
+                attrs.append("cycle.with_rider")
+                continue
+        attrs.append(_STATIC_ATTR.get(name, ""))
+    return np.asarray(attrs)
+
 
 class NuScenesDataset(DatasetTemplate):
     def __init__(self, dataset_cfg, class_names, training=True, root_path=None,
@@ -135,6 +164,7 @@ class NuScenesDataset(DatasetTemplate):
             valid = pred_arrays["final_valid"][b].astype(bool)
             boxes = pred_arrays["final_boxes"][b][valid]
             labels = pred_arrays["final_labels"][b][valid].astype(int)
+            names = np.asarray([class_names[i - 1] for i in labels])
             annos.append({
                 "frame_id": batch_dict["frame_id"][b],
                 "boxes_lidar": boxes,
@@ -142,8 +172,9 @@ class NuScenesDataset(DatasetTemplate):
                 "scores": pred_arrays["final_scores"][b][valid],
                 "score": pred_arrays["final_scores"][b][valid],
                 "pred_labels": labels,
-                "names": np.asarray([class_names[i - 1] for i in labels]),
-                "name": np.asarray([class_names[i - 1] for i in labels]),
+                "names": names,
+                "name": names,
+                "attributes": default_attributes(boxes, names),
             })
         return annos
 

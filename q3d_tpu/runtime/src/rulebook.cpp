@@ -50,6 +50,36 @@ static void sort_rows(const int32_t* coords, int64_t n, int nd,
                   [](const Row& a, const Row& b) { return a.key < b.key; });
 }
 
+// SoA variant: sorted keys + original row ids in separate arrays — the
+// merge loops scan keys[] sequentially, so halving the element size
+// (vs the 16-byte Row) halves their memory traffic.
+static void sort_rows_soa(const int32_t* coords, int64_t n, int nd,
+                          const int32_t* spatial, std::vector<int64_t>& keys,
+                          std::vector<int32_t>& idxs) {
+    keys.clear(); idxs.clear();
+    keys.reserve((size_t)n); idxs.reserve((size_t)n);
+    bool sorted = true;
+    int64_t prev = -1;
+    for (int64_t i = 0; i < n; ++i) {
+        const int32_t* c = coords + i * (1 + nd);
+        if (c[0] < 0) continue;
+        int64_t key = c[0];
+        for (int d = 0; d < nd; ++d) key = key * spatial[d] + c[1 + d];
+        if (key < prev) sorted = false;
+        prev = key;
+        keys.push_back(key);
+        idxs.push_back((int32_t)i);
+    }
+    if (!sorted) {
+        const size_t R = keys.size();
+        std::vector<Row> rows(R);
+        for (size_t i = 0; i < R; ++i) rows[i] = {keys[i], idxs[i]};
+        std::sort(rows.begin(), rows.end(),
+                  [](const Row& a, const Row& b) { return a.key < b.key; });
+        for (size_t i = 0; i < R; ++i) { keys[i] = rows[i].key; idxs[i] = rows[i].idx; }
+    }
+}
+
 }  // namespace
 
 extern "C" {
@@ -226,29 +256,41 @@ int subm_chunk_rulebook(const int32_t* coords, int64_t n, int nd,
     int G = 1;
     for (int d = 0; d < nd - 1; ++d) G *= k[d];
     const int32_t miss = (int32_t)(3 * n);
-    std::fill(gather, gather + n * G, miss);
 
-    std::vector<Row> rows;
-    sort_rows(coords, n, nd, spatial, rows);
-    const int64_t R = (int64_t)rows.size();
+    static thread_local std::vector<int64_t> keys;
+    static thread_local std::vector<int32_t> idxs;
+    sort_rows_soa(coords, n, nd, spatial, keys, idxs);
+    const int64_t R = (int64_t)keys.size();
     const int32_t nx = spatial[nd - 1];
+
+    // valid rows write every slot exactly once below; only pad/invalid rows
+    // need an explicit miss fill
+    for (int64_t i = 0; i < n; ++i)
+        if (coords[i * (1 + nd)] < 0)
+            std::fill(gather + i * G, gather + (i + 1) * G, miss);
 
     std::vector<int64_t> stride(nd, 1);
     for (int d = nd - 2; d >= 0; --d)
         stride[d] = stride[d + 1] * spatial[d + 1];
 
-    std::vector<int32_t> off(nd - 1, 0), center(nd - 1), disp(nd - 1);
+    std::vector<int32_t> off(nd - 1, 0), center(nd - 1);
     for (int d = 0; d < nd - 1; ++d) center[d] = (k[d] - 1) / 2;
 
     // all G group cursors advance monotonically -> ONE pass over the rows
     // serves every group (one coords load + G inline merge steps per row)
     std::vector<int64_t> deltas(G);
     std::vector<std::vector<int32_t>> disps(G, std::vector<int32_t>(nd - 1));
+    // interior bounds per dim: rows with lo[d] <= c < hi[d] pass EVERY
+    // group's bounds test, so the hot loop skips per-(row, g) checks
+    std::vector<int32_t> lo(nd - 1, 0), hi(nd - 1);
+    for (int d = 0; d < nd - 1; ++d) hi[d] = spatial[d];
     for (int g = 0; g < G; ++g) {
         int64_t delta = 0;
         for (int d = 0; d < nd - 1; ++d) {
             disps[g][d] = (off[d] - center[d]) * dil[d];
             delta += (int64_t)disps[g][d] * stride[d];
+            lo[d] = std::max(lo[d], -disps[g][d]);
+            hi[d] = std::min(hi[d], spatial[d] - disps[g][d]);
         }
         deltas[g] = delta;
         for (int d = nd - 2; d >= 0; --d) {
@@ -256,27 +298,47 @@ int subm_chunk_rulebook(const int32_t* coords, int64_t n, int nd,
             off[d] = 0;
         }
     }
+    const int64_t* kp = keys.data();
+    const int32_t* ip = idxs.data();
+    // row-OUTER merge with G monotone cursors: one coords load per row,
+    // the 9 cursor lines stay L1-hot.  (A group-outer variant that
+    // re-streams kp[] per group measured ~20% slower at 40k rows.)
     std::vector<int64_t> cur(G, 0);
     for (int64_t a = 0; a < R; ++a) {
-        const int32_t* c = coords + (int64_t)rows[a].idx * (1 + nd);
+        const int32_t* c = coords + (int64_t)ip[a] * (1 + nd);
         const int32_t x = c[nd];
         const int jlo = x == 0 ? 1 : 0;
         const int jhi = x == nx - 1 ? 1 : 2;
-        int32_t* grow = gather + (int64_t)rows[a].idx * G;
-        for (int g = 0; g < G; ++g) {
-            bool ok = true;
-            for (int d = 0; d < nd - 1; ++d) {
-                int32_t v = c[1 + d] + disps[g][d];
-                if (v < 0 || v >= spatial[d]) { ok = false; break; }
+        int32_t* grow = gather + (int64_t)ip[a] * G;
+        const int64_t key_a = kp[a];
+        bool interior = true;
+        for (int d = 0; d < nd - 1; ++d) {
+            const int32_t v = c[1 + d];
+            if (v < lo[d] || v >= hi[d]) { interior = false; break; }
+        }
+        if (interior) {
+            for (int g = 0; g < G; ++g) {
+                const int64_t q = key_a + deltas[g] - 1;
+                int64_t b = cur[g];
+                while (b < R && kp[b] < q + jlo) ++b;
+                cur[g] = b;
+                grow[g] = (b < R && kp[b] <= q + jhi)
+                    ? ip[b] + (int32_t)(kp[b] - q) * (int32_t)n : miss;
             }
-            if (!ok) continue;
-            const int64_t q = rows[a].key + deltas[g] - 1;
-            int64_t b = cur[g];
-            while (b < R && rows[b].key < q + jlo) ++b;
-            cur[g] = b;
-            if (b < R && rows[b].key <= q + jhi) {
-                const int32_t code = (int32_t)(rows[b].key - q);
-                grow[g] = rows[b].idx + code * (int32_t)n;
+        } else {
+            for (int g = 0; g < G; ++g) {
+                bool ok = true;
+                for (int d = 0; d < nd - 1; ++d) {
+                    int32_t v = c[1 + d] + disps[g][d];
+                    if (v < 0 || v >= spatial[d]) { ok = false; break; }
+                }
+                if (!ok) { grow[g] = miss; continue; }
+                const int64_t q = key_a + deltas[g] - 1;
+                int64_t b = cur[g];
+                while (b < R && kp[b] < q + jlo) ++b;
+                cur[g] = b;
+                grow[g] = (b < R && kp[b] <= q + jhi)
+                    ? ip[b] + (int32_t)(kp[b] - q) * (int32_t)n : miss;
             }
         }
     }
@@ -500,14 +562,14 @@ int downsample_chunk_rulebook2(const int32_t* coords, int64_t n, int nd,
     int G = 1;
     for (int d = 0; d < nd - 1; ++d) G *= k[d];
     const int32_t miss = (int32_t)(3 * n);
-    std::fill(gather, gather + m_cap * G, miss);
 
-    std::vector<Row> rows;
-    sort_rows(coords, n, nd, spatial, rows);
-    const int64_t R = (int64_t)rows.size();
+    static thread_local std::vector<int64_t> keys;
+    static thread_local std::vector<int32_t> idxs;
+    sort_rows_soa(coords, n, nd, spatial, keys, idxs);
+    const int64_t R = (int64_t)keys.size();
     int32_t bmax = 0;
     for (int64_t r = 0; r < R; ++r)
-        bmax = std::max(bmax, coords[(int64_t)rows[r].idx * (1 + nd)]);
+        bmax = std::max(bmax, coords[(int64_t)idxs[r] * (1 + nd)]);
 
     int64_t out_size = bmax + 1;
     for (int d = 0; d < nd; ++d) out_size *= out_spatial[d];
@@ -526,53 +588,112 @@ int downsample_chunk_rulebook2(const int32_t* coords, int64_t n, int nd,
         ndelta[d] = (k[d] - 1) / s[d] + 1;
         DK *= ndelta[d];
     }
-    std::vector<int32_t> o0(nd), t0(nd);
-    // per-dim list of (delta, out) pairs that survive the tap/bounds test —
-    // built once per row, the combo loop then has no checks at all
     std::vector<std::array<int32_t, 4>> vo(nd);   // valid outs per dim
     std::vector<int32_t> nvo(nd);
-    for (int64_t r = 0; r < R; ++r) {
-        const int32_t* c = coords + (int64_t)rows[r].idx * (1 + nd);
-        bool any = true;
-        for (int d = 0; d < nd; ++d) {
-            int32_t ip = c[1 + d] + p[d];
-            int32_t o0d = ip / s[d];
-            int32_t t0d = ip - o0d * s[d];
-            int cnt = 0;
-            for (int dd = 0; dd < ndelta[d]; ++dd) {
-                const int32_t ov = o0d - dd;
-                const int32_t tap = t0d + dd * s[d];
-                if (ov >= 0 && ov < out_spatial[d] && tap < k[d])
-                    vo[d][cnt++] = ov;
+    bool all_s2k3 = true;
+    for (int d = 0; d < nd; ++d)
+        if (s[d] != 2 || k[d] != 3) all_s2k3 = false;
+    if (all_s2k3) {
+        // the standard downsample (k=3, s=2): o0 = (c+p)>>1 always valid
+        // when < out_spatial; o0-1 valid when (c+p) even (tap 2 < 3) and
+        // o0 > 0.  Shifts instead of the idiv that dominates the generic
+        // marking pass (~25 cycles x nd per row).
+        for (int64_t r = 0; r < R; ++r) {
+            const int32_t* c = coords + (int64_t)idxs[r] * (1 + nd);
+            bool any = true;
+            for (int d = 0; d < nd; ++d) {
+                const int32_t ip = c[1 + d] + p[d];
+                const int32_t o0d = ip >> 1;
+                int cnt = 0;
+                if (o0d < out_spatial[d]) vo[d][cnt++] = o0d;
+                if (!(ip & 1) && o0d > 0) vo[d][cnt++] = o0d - 1;
+                nvo[d] = cnt;
+                if (cnt == 0) { any = false; break; }
             }
-            nvo[d] = cnt;
-            if (cnt == 0) { any = false; break; }
+            if (!any) continue;
+            int idx[8] = {0};
+            while (true) {
+                int64_t key = c[0];
+                for (int d = 0; d < nd; ++d)
+                    key = key * out_spatial[d] + vo[d][idx[d]];
+                map[(size_t)key] = gen;
+                int d = nd - 1;
+                while (d >= 0 && ++idx[d] >= nvo[d]) idx[d--] = 0;
+                if (d < 0) break;
+            }
         }
-        if (!any) continue;
-        // enumerate the cartesian product of valid outs (<= DK combos)
-        int idx[8] = {0};
-        while (true) {
-            int64_t key = c[0];
-            for (int d = 0; d < nd; ++d)
-                key = key * out_spatial[d] + vo[d][idx[d]];
-            map[(size_t)key] = gen;      // blind store: no read stall
-            int d = nd - 1;
-            while (d >= 0 && ++idx[d] >= nvo[d]) idx[d--] = 0;
-            if (d < 0) break;
+    } else {
+        for (int64_t r = 0; r < R; ++r) {
+            const int32_t* c = coords + (int64_t)idxs[r] * (1 + nd);
+            bool any = true;
+            for (int d = 0; d < nd; ++d) {
+                int32_t ip = c[1 + d] + p[d];
+                int32_t o0d = ip / s[d];
+                int32_t t0d = ip - o0d * s[d];
+                int cnt = 0;
+                for (int dd = 0; dd < ndelta[d]; ++dd) {
+                    const int32_t ov = o0d - dd;
+                    const int32_t tap = t0d + dd * s[d];
+                    if (ov >= 0 && ov < out_spatial[d] && tap < k[d])
+                        vo[d][cnt++] = ov;
+                }
+                nvo[d] = cnt;
+                if (cnt == 0) { any = false; break; }
+            }
+            if (!any) continue;
+            // enumerate the cartesian product of valid outs (<= DK combos)
+            int idx[8] = {0};
+            while (true) {
+                int64_t key = c[0];
+                for (int d = 0; d < nd; ++d)
+                    key = key * out_spatial[d] + vo[d][idx[d]];
+                map[(size_t)key] = gen;      // blind store: no read stall
+                int d = nd - 1;
+                while (d >= 0 && ++idx[d] >= nvo[d]) idx[d--] = 0;
+                if (d < 0) break;
+            }
         }
     }
 
+    // SWAR scan: 8 map bytes per probe (the map is large and sparse — the
+    // byte-at-a-time scan was ~1/3 of this function at stage-1 grid sizes)
     int64_t m = 0;
-    for (int64_t key = 0; key < out_size && m < m_cap; ++key) {
-        if (map[(size_t)key] != gen) continue;
-        int64_t rem = key;
-        int32_t* oc = out_coords + m * (1 + nd);
-        for (int d = nd - 1; d >= 0; --d) {
-            oc[1 + d] = (int32_t)(rem % out_spatial[d]);
-            rem /= out_spatial[d];
+    {
+        const uint8_t* mp = map.data();
+        const uint64_t pat = 0x0101010101010101ull * gen;
+        int64_t key = 0;
+        const int64_t bulk = out_size & ~(int64_t)7;
+        while (key < bulk && m < m_cap) {
+            uint64_t w;
+            std::memcpy(&w, mp + key, 8);
+            uint64_t x = w ^ pat;       // zero byte <=> hit
+            uint64_t hit = (x - 0x0101010101010101ull) & ~x
+                           & 0x8080808080808080ull;
+            if (!hit) { key += 8; continue; }
+            for (int j = 0; j < 8 && m < m_cap; ++j) {
+                if (mp[key + j] != gen) continue;
+                int64_t rem = key + j;
+                int32_t* oc = out_coords + m * (1 + nd);
+                for (int d = nd - 1; d >= 0; --d) {
+                    oc[1 + d] = (int32_t)(rem % out_spatial[d]);
+                    rem /= out_spatial[d];
+                }
+                oc[0] = (int32_t)rem;
+                ++m;
+            }
+            key += 8;
         }
-        oc[0] = (int32_t)rem;
-        ++m;
+        for (; key < out_size && m < m_cap; ++key) {
+            if (mp[key] != gen) continue;
+            int64_t rem = key;
+            int32_t* oc = out_coords + m * (1 + nd);
+            for (int d = nd - 1; d >= 0; --d) {
+                oc[1 + d] = (int32_t)(rem % out_spatial[d]);
+                rem /= out_spatial[d];
+            }
+            oc[0] = (int32_t)rem;
+            ++m;
+        }
     }
     for (int64_t j = m; j < m_cap; ++j) {
         int32_t* oc = out_coords + j * (1 + nd);
@@ -580,42 +701,77 @@ int downsample_chunk_rulebook2(const int32_t* coords, int64_t n, int nd,
     }
 
     const int32_t nx = spatial[nd - 1];
+    std::vector<int64_t> istride(nd, 1);
+    for (int d = nd - 2; d >= 0; --d)
+        istride[d] = istride[d + 1] * spatial[d + 1];
+    const int64_t bstride = istride[0] * spatial[0];
     std::vector<int32_t> off(nd - 1, 0);
     std::vector<std::vector<int32_t>> offs(G, std::vector<int32_t>(nd - 1));
+    std::vector<int64_t> gdelta(G, 0);
     for (int g = 0; g < G; ++g) {
-        for (int d = 0; d < nd - 1; ++d) offs[g][d] = off[d];
+        for (int d = 0; d < nd - 1; ++d) {
+            offs[g][d] = off[d];
+            gdelta[g] += (int64_t)off[d] * istride[d];
+        }
         for (int d = nd - 2; d >= 0; --d) {
             if (++off[d] < k[d]) break;
             off[d] = 0;
         }
     }
+    const int64_t* kp = keys.data();
+    const int32_t* ixp = idxs.data();
+    // row-OUTER merge with G monotone cursors (see subm_chunk_rulebook);
+    // per-row window base key (base0) is computed once, each group then
+    // adds its precomputed constant gdelta
     std::vector<int64_t> cur(G, 0);
+    std::vector<int32_t> v0(nd - 1);
     for (int64_t r = 0; r < m; ++r) {
         const int32_t* oc = out_coords + r * (1 + nd);
         const int32_t x0 = oc[nd] * s[nd - 1] - p[nd - 1];
         const int jlo = x0 < 0 ? -x0 : 0;
         const int jhi = x0 + 2 >= nx ? nx - 1 - x0 : 2;
-        if (jlo > jhi) continue;
         int32_t* grow = gather + r * G;
-        for (int g = 0; g < G; ++g) {
-            int64_t base = oc[0];
-            bool ok = true;
-            for (int d = 0; d < nd - 1; ++d) {
-                int32_t vv = oc[1 + d] * s[d] - p[d] + offs[g][d];
-                if (vv < 0 || vv >= spatial[d]) { ok = false; break; }
-                base = base * spatial[d] + vv;
+        if (jlo > jhi) {
+            std::fill(grow, grow + G, miss);
+            continue;
+        }
+        // tap-origin per dim; interior rows pass every group's bounds test
+        bool interior = true;
+        int64_t base0 = (int64_t)oc[0] * bstride + x0;
+        for (int d = 0; d < nd - 1; ++d) {
+            const int32_t v = oc[1 + d] * s[d] - p[d];
+            v0[d] = v;
+            base0 += (int64_t)v * istride[d];
+            if (v < 0 || v + k[d] > spatial[d]) interior = false;
+        }
+        if (interior) {
+            for (int g = 0; g < G; ++g) {
+                const int64_t base = base0 + gdelta[g];
+                int64_t b = cur[g];
+                while (b < R && kp[b] < base + jlo) ++b;
+                cur[g] = b;
+                grow[g] = (b < R && kp[b] <= base + jhi)
+                    ? ixp[b] + (int32_t)(kp[b] - base) * (int32_t)n : miss;
             }
-            if (!ok) continue;
-            base = base * nx + x0;
-            int64_t b = cur[g];
-            while (b < R && rows[b].key < base + jlo) ++b;
-            cur[g] = b;
-            if (b < R && rows[b].key <= base + jhi) {
-                const int32_t code = (int32_t)(rows[b].key - base);
-                grow[g] = rows[b].idx + code * (int32_t)n;
+        } else {
+            for (int g = 0; g < G; ++g) {
+                bool ok = true;
+                for (int d = 0; d < nd - 1; ++d) {
+                    const int32_t vv = v0[d] + offs[g][d];
+                    if (vv < 0 || vv >= spatial[d]) { ok = false; break; }
+                }
+                if (!ok) { grow[g] = miss; continue; }
+                const int64_t base = base0 + gdelta[g];
+                int64_t b = cur[g];
+                while (b < R && kp[b] < base + jlo) ++b;
+                cur[g] = b;
+                grow[g] = (b < R && kp[b] <= base + jhi)
+                    ? ixp[b] + (int32_t)(kp[b] - base) * (int32_t)n : miss;
             }
         }
     }
+    // pad rows beyond the active output count
+    std::fill(gather + m * G, gather + m_cap * G, miss);
     return 0;
 }
 

@@ -70,6 +70,37 @@ def test_kitti_false_positives_lower_precision():
     assert res["Car_3d/moderate_R40"] < 99.0
 
 
+def test_kitti_dontcare_absorbs_fp():
+    """Detections landing on DontCare regions are not false positives for
+    the 2D bbox metric (reference eval.py:248-262 nstuff subtraction)."""
+    gt_boxes = np.asarray([_cam_box(0, 10)], np.float32)
+    dt_boxes = np.asarray([_cam_box(0, 10), _cam_box(30, 40)], np.float32)
+
+    def frames(with_dc):
+        gts, dts = [], []
+        for _ in range(60):
+            g = _kitti_anno(gt_boxes, ["Car"])
+            if with_dc:
+                g = _kitti_anno(
+                    np.concatenate([gt_boxes, gt_boxes]), ["Car", "DontCare"])
+                # DontCare 2D region far from the Car's bbox, matching dt#2
+                g["bbox"] = np.asarray([[100, 100, 200, 150],
+                                        [300, 300, 400, 350]], np.float64)
+            d = _kitti_anno(dt_boxes, ["Car", "Car"],
+                            scores=np.random.uniform(0.5, 1.0, 2))
+            d["bbox"] = np.asarray([[100, 100, 200, 150],
+                                    [300, 300, 400, 350]], np.float64)
+            gts.append(g)
+            dts.append(d)
+        return gts, dts
+
+    _, res_nodc = get_official_eval_result(*frames(False), ["Car"])
+    _, res_dc = get_official_eval_result(*frames(True), ["Car"])
+    # the off-GT detection is an fp without DontCare, absorbed with it
+    assert res_dc["Car_bbox/easy_R40"] > res_nodc["Car_bbox/easy_R40"]
+    assert res_dc["Car_bbox/easy_R40"] > 95.0
+
+
 def test_image_box_overlap():
     a = np.asarray([[0, 0, 10, 10]], np.float64)
     b = np.asarray([[0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]],

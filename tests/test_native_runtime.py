@@ -34,3 +34,59 @@ def test_native_voxelizer_speed():
     native.voxelize(points, vs, pr, grid, 10, 60000)
     dt = time.perf_counter() - t0
     assert dt < 1.0, f"native voxelizer too slow: {dt:.3f}s"
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+@pytest.mark.parametrize("seed,spatial", [(0, (6, 12, 16)), (1, (5, 9, 9))])
+def test_native_chunk_rulebooks_bitmatch_engine(seed, spatial):
+    """C++ chunk rulebooks (subm + strided downsample incl. output coords)
+    must be BIT-equal to the device engine's on random scenes with boundary
+    voxels."""
+    import jax.numpy as jnp
+    from q3d_tpu.ops.spconv import engine
+    from q3d_tpu.ops.spconv.sparse_tensor import SparseConvTensor
+
+    rng = np.random.RandomState(seed)
+    B, cap, n_active = 2, 160, 120
+    D, H, W = spatial
+    coords = set()
+    while len(coords) < n_active:
+        coords.add((rng.randint(B), rng.randint(D), rng.randint(H),
+                    rng.randint(W)))
+    idx = np.full((cap, 4), -1, np.int32)
+    for i, c in enumerate(sorted(coords)):
+        idx[i] = c
+    st = SparseConvTensor(
+        features=jnp.zeros((cap, 3), jnp.float32), indices=jnp.asarray(idx),
+        spatial_shape=spatial, batch_size=B).sort_rows()
+
+    # host twin of the sorted tensor's coords (B, V, nd) layout
+    vox = np.full((B, cap, 3), -1, np.int32)
+    counts = [0] * B
+    for c in sorted(coords):
+        vox[c[0], counts[c[0]]] = c[1:]
+        counts[c[0]] += 1
+    # NOTE: flatten_sort_coords sorts by (b, z, y, x) — same order as
+    # SparseConvTensor.sort_rows, so row ids line up
+    hcoords = native.flatten_sort_coords(vox, spatial)
+
+    # row-id alignment requires identical capacity layout: engine tensor has
+    # cap rows; host table has B*cap rows — rebuild with the same capacity
+    assert hcoords.shape[0] == B * cap
+    st2 = SparseConvTensor(
+        features=jnp.zeros((B * cap, 3), jnp.float32),
+        indices=jnp.asarray(hcoords), spatial_shape=spatial,
+        batch_size=B, sorted_rows=True)
+
+    dev_subm = np.asarray(engine.subm_chunk_indices(st2, 3))
+    host_subm = native.subm_chunk_rulebook(hcoords, spatial, 3, 1)
+    np.testing.assert_array_equal(dev_subm, host_subm)
+
+    for pad in (1, (0, 1, 1)):
+        out_idx, chunk, out_sp = engine.sparse_conv_downsample_chunk(
+            st2, 3, 2, pad)
+        oc, hchunk, hosp = native.downsample_chunk_rulebook(
+            hcoords, spatial, 3, 2, pad, B * cap)
+        assert tuple(hosp) == tuple(out_sp)
+        np.testing.assert_array_equal(np.asarray(out_idx), oc)
+        np.testing.assert_array_equal(np.asarray(chunk), hchunk)
