@@ -36,8 +36,11 @@ def _load():
     global lib
     if lib is not None:
         return lib
-    if not _LIB_PATH.exists():
-        if not _build():
+    stale = _LIB_PATH.exists() and any(
+        s.stat().st_mtime > _LIB_PATH.stat().st_mtime
+        for s in _SRC.glob("*.cpp"))
+    if not _LIB_PATH.exists() or stale:
+        if not _build() and not _LIB_PATH.exists():
             lib = None
             return None
     try:

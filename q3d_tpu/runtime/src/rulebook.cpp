@@ -52,12 +52,13 @@ static void sort_rows(const int32_t* coords, int64_t n, int nd,
 
 // SoA variant: sorted keys + original row ids in separate arrays — the
 // merge loops scan keys[] sequentially, so halving the element size
-// (vs the 16-byte Row) halves their memory traffic.
+// (vs the 16-byte Row) halves their memory traffic.  Appends a sentinel
+// key (INT64_MAX) + sentinel idx so merge loops need no bounds checks.
 static void sort_rows_soa(const int32_t* coords, int64_t n, int nd,
                           const int32_t* spatial, std::vector<int64_t>& keys,
                           std::vector<int32_t>& idxs) {
     keys.clear(); idxs.clear();
-    keys.reserve((size_t)n); idxs.reserve((size_t)n);
+    keys.reserve((size_t)n + 1); idxs.reserve((size_t)n + 1);
     bool sorted = true;
     int64_t prev = -1;
     for (int64_t i = 0; i < n; ++i) {
@@ -78,6 +79,8 @@ static void sort_rows_soa(const int32_t* coords, int64_t n, int nd,
                   [](const Row& a, const Row& b) { return a.key < b.key; });
         for (size_t i = 0; i < R; ++i) { keys[i] = rows[i].key; idxs[i] = rows[i].idx; }
     }
+    keys.push_back(INT64_MAX);      // sentinel: never matches a window
+    idxs.push_back((int32_t)n);     // safe row for speculative loads
 }
 
 }  // namespace
@@ -260,7 +263,7 @@ int subm_chunk_rulebook(const int32_t* coords, int64_t n, int nd,
     static thread_local std::vector<int64_t> keys;
     static thread_local std::vector<int32_t> idxs;
     sort_rows_soa(coords, n, nd, spatial, keys, idxs);
-    const int64_t R = (int64_t)keys.size();
+    const int64_t R = (int64_t)keys.size() - 1;   // minus sentinel
     const int32_t nx = spatial[nd - 1];
 
     // valid rows write every slot exactly once below; only pad/invalid rows
@@ -298,47 +301,61 @@ int subm_chunk_rulebook(const int32_t* coords, int64_t n, int nd,
             off[d] = 0;
         }
     }
-    const int64_t* kp = keys.data();
-    const int32_t* ip = idxs.data();
+    const int64_t* __restrict kp = keys.data();
+    const int32_t* __restrict ip = idxs.data();
     // row-OUTER merge with G monotone cursors: one coords load per row,
     // the 9 cursor lines stay L1-hot.  (A group-outer variant that
     // re-streams kp[] per group measured ~20% slower at 40k rows.)
+    //
+    // Branchless inner step: the sorted-key sentinel (INT64_MAX) removes the
+    // b < R guard, the cursor advances by two predicated increments (the
+    // per-row mean advance is 1; the residual while loop is rarely taken),
+    // and the hit/miss select compiles to cmov — the data-dependent branches
+    // that dominated this loop (~38 cycles/step measured) are gone.
     std::vector<int64_t> cur(G, 0);
     for (int64_t a = 0; a < R; ++a) {
         const int32_t* c = coords + (int64_t)ip[a] * (1 + nd);
         const int32_t x = c[nd];
         const int jlo = x == 0 ? 1 : 0;
         const int jhi = x == nx - 1 ? 1 : 2;
-        int32_t* grow = gather + (int64_t)ip[a] * G;
+        int32_t* __restrict grow = gather + (int64_t)ip[a] * G;
         const int64_t key_a = kp[a];
         bool interior = true;
         for (int d = 0; d < nd - 1; ++d) {
             const int32_t v = c[1 + d];
-            if (v < lo[d] || v >= hi[d]) { interior = false; break; }
+            interior &= (v >= lo[d]) & (v < hi[d]);
         }
         if (interior) {
             for (int g = 0; g < G; ++g) {
                 const int64_t q = key_a + deltas[g] - 1;
+                const int64_t qlo = q + jlo;
                 int64_t b = cur[g];
-                while (b < R && kp[b] < q + jlo) ++b;
+                b += kp[b] < qlo;
+                b += kp[b] < qlo;
+                while (kp[b] < qlo) ++b;
                 cur[g] = b;
-                grow[g] = (b < R && kp[b] <= q + jhi)
-                    ? ip[b] + (int32_t)(kp[b] - q) * (int32_t)n : miss;
+                const int64_t kb = kp[b];
+                const int32_t val = ip[b] + (int32_t)(kb - q) * (int32_t)n;
+                grow[g] = kb <= q + jhi ? val : miss;
             }
         } else {
             for (int g = 0; g < G; ++g) {
                 bool ok = true;
                 for (int d = 0; d < nd - 1; ++d) {
                     int32_t v = c[1 + d] + disps[g][d];
-                    if (v < 0 || v >= spatial[d]) { ok = false; break; }
+                    ok &= (v >= 0) & (v < spatial[d]);
                 }
                 if (!ok) { grow[g] = miss; continue; }
                 const int64_t q = key_a + deltas[g] - 1;
+                const int64_t qlo = q + jlo;
                 int64_t b = cur[g];
-                while (b < R && kp[b] < q + jlo) ++b;
+                b += kp[b] < qlo;
+                b += kp[b] < qlo;
+                while (kp[b] < qlo) ++b;
                 cur[g] = b;
-                grow[g] = (b < R && kp[b] <= q + jhi)
-                    ? ip[b] + (int32_t)(kp[b] - q) * (int32_t)n : miss;
+                const int64_t kb = kp[b];
+                const int32_t val = ip[b] + (int32_t)(kb - q) * (int32_t)n;
+                grow[g] = kb <= q + jhi ? val : miss;
             }
         }
     }
@@ -566,7 +583,7 @@ int downsample_chunk_rulebook2(const int32_t* coords, int64_t n, int nd,
     static thread_local std::vector<int64_t> keys;
     static thread_local std::vector<int32_t> idxs;
     sort_rows_soa(coords, n, nd, spatial, keys, idxs);
-    const int64_t R = (int64_t)keys.size();
+    const int64_t R = (int64_t)keys.size() - 1;   // minus sentinel
     int32_t bmax = 0;
     for (int64_t r = 0; r < R; ++r)
         bmax = std::max(bmax, coords[(int64_t)idxs[r] * (1 + nd)]);
@@ -718,11 +735,13 @@ int downsample_chunk_rulebook2(const int32_t* coords, int64_t n, int nd,
             off[d] = 0;
         }
     }
-    const int64_t* kp = keys.data();
-    const int32_t* ixp = idxs.data();
+    const int64_t* __restrict kp = keys.data();
+    const int32_t* __restrict ixp = idxs.data();
     // row-OUTER merge with G monotone cursors (see subm_chunk_rulebook);
     // per-row window base key (base0) is computed once, each group then
-    // adds its precomputed constant gdelta
+    // adds its precomputed constant gdelta.  Branchless stepping via the
+    // key sentinel + predicated cursor advance, as in subm_chunk_rulebook
+    // (downsample cursors advance ~2 keys/row at s=2, hence 3 increments).
     std::vector<int64_t> cur(G, 0);
     std::vector<int32_t> v0(nd - 1);
     for (int64_t r = 0; r < m; ++r) {
@@ -730,7 +749,7 @@ int downsample_chunk_rulebook2(const int32_t* coords, int64_t n, int nd,
         const int32_t x0 = oc[nd] * s[nd - 1] - p[nd - 1];
         const int jlo = x0 < 0 ? -x0 : 0;
         const int jhi = x0 + 2 >= nx ? nx - 1 - x0 : 2;
-        int32_t* grow = gather + r * G;
+        int32_t* __restrict grow = gather + r * G;
         if (jlo > jhi) {
             std::fill(grow, grow + G, miss);
             continue;
@@ -742,31 +761,41 @@ int downsample_chunk_rulebook2(const int32_t* coords, int64_t n, int nd,
             const int32_t v = oc[1 + d] * s[d] - p[d];
             v0[d] = v;
             base0 += (int64_t)v * istride[d];
-            if (v < 0 || v + k[d] > spatial[d]) interior = false;
+            interior &= (v >= 0) & (v + k[d] <= spatial[d]);
         }
         if (interior) {
             for (int g = 0; g < G; ++g) {
                 const int64_t base = base0 + gdelta[g];
+                const int64_t qlo = base + jlo;
                 int64_t b = cur[g];
-                while (b < R && kp[b] < base + jlo) ++b;
+                b += kp[b] < qlo;
+                b += kp[b] < qlo;
+                b += kp[b] < qlo;
+                while (kp[b] < qlo) ++b;
                 cur[g] = b;
-                grow[g] = (b < R && kp[b] <= base + jhi)
-                    ? ixp[b] + (int32_t)(kp[b] - base) * (int32_t)n : miss;
+                const int64_t kb = kp[b];
+                const int32_t val = ixp[b] + (int32_t)(kb - base) * (int32_t)n;
+                grow[g] = kb <= base + jhi ? val : miss;
             }
         } else {
             for (int g = 0; g < G; ++g) {
                 bool ok = true;
                 for (int d = 0; d < nd - 1; ++d) {
                     const int32_t vv = v0[d] + offs[g][d];
-                    if (vv < 0 || vv >= spatial[d]) { ok = false; break; }
+                    ok &= (vv >= 0) & (vv < spatial[d]);
                 }
                 if (!ok) { grow[g] = miss; continue; }
                 const int64_t base = base0 + gdelta[g];
+                const int64_t qlo = base + jlo;
                 int64_t b = cur[g];
-                while (b < R && kp[b] < base + jlo) ++b;
+                b += kp[b] < qlo;
+                b += kp[b] < qlo;
+                b += kp[b] < qlo;
+                while (kp[b] < qlo) ++b;
                 cur[g] = b;
-                grow[g] = (b < R && kp[b] <= base + jhi)
-                    ? ixp[b] + (int32_t)(kp[b] - base) * (int32_t)n : miss;
+                const int64_t kb = kp[b];
+                const int32_t val = ixp[b] + (int32_t)(kb - base) * (int32_t)n;
+                grow[g] = kb <= base + jhi ? val : miss;
             }
         }
     }
