@@ -614,29 +614,66 @@ int downsample_chunk_rulebook2(const int32_t* coords, int64_t n, int nd,
         // the standard downsample (k=3, s=2): o0 = (c+p)>>1 always valid
         // when < out_spatial; o0-1 valid when (c+p) even (tap 2 < 3) and
         // o0 > 0.  Shifts instead of the idiv that dominates the generic
-        // marking pass (~25 cycles x nd per row).
+        // marking pass (~25 cycles x nd per row).  Key parts are
+        // precomputed per dim so each combo is pure adds (no odometer
+        // multiplies), with the <= 2^nd combos enumerated branchlessly.
+        int64_t ostride[8];
+        ostride[nd - 1] = 1;
+        for (int d = nd - 2; d >= 0; --d)
+            ostride[d] = ostride[d + 1] * out_spatial[d + 1];
+        const int64_t obstride = ostride[0] * out_spatial[0];
         for (int64_t r = 0; r < R; ++r) {
             const int32_t* c = coords + (int64_t)idxs[r] * (1 + nd);
+            int64_t base = (int64_t)c[0] * obstride;
             bool any = true;
+            int64_t step[8];
+            int nsteps[8];
             for (int d = 0; d < nd; ++d) {
                 const int32_t ip = c[1 + d] + p[d];
                 const int32_t o0d = ip >> 1;
-                int cnt = 0;
-                if (o0d < out_spatial[d]) vo[d][cnt++] = o0d;
-                if (!(ip & 1) && o0d > 0) vo[d][cnt++] = o0d - 1;
-                nvo[d] = cnt;
-                if (cnt == 0) { any = false; break; }
+                const bool v0ok = o0d < out_spatial[d];
+                const bool v1ok = !(ip & 1) && o0d > 0;
+                if (v0ok) {
+                    base += (int64_t)o0d * ostride[d];
+                    step[d] = -ostride[d];
+                    nsteps[d] = 1 + v1ok;
+                } else if (v1ok) {
+                    base += (int64_t)(o0d - 1) * ostride[d];
+                    step[d] = 0;
+                    nsteps[d] = 1;
+                } else { any = false; break; }
             }
             if (!any) continue;
-            int idx[8] = {0};
-            while (true) {
-                int64_t key = c[0];
-                for (int d = 0; d < nd; ++d)
-                    key = key * out_spatial[d] + vo[d][idx[d]];
-                map[(size_t)key] = gen;
-                int d = nd - 1;
-                while (d >= 0 && ++idx[d] >= nvo[d]) idx[d--] = 0;
-                if (d < 0) break;
+            if (nd == 3) {                    // hot case, fully unrolled
+                map[(size_t)base] = gen;
+                if (nsteps[2] > 1) map[(size_t)(base + step[2])] = gen;
+                if (nsteps[1] > 1) {
+                    const int64_t b1 = base + step[1];
+                    map[(size_t)b1] = gen;
+                    if (nsteps[2] > 1) map[(size_t)(b1 + step[2])] = gen;
+                }
+                if (nsteps[0] > 1) {
+                    const int64_t b0 = base + step[0];
+                    map[(size_t)b0] = gen;
+                    if (nsteps[2] > 1) map[(size_t)(b0 + step[2])] = gen;
+                    if (nsteps[1] > 1) {
+                        const int64_t b01 = b0 + step[1];
+                        map[(size_t)b01] = gen;
+                        if (nsteps[2] > 1)
+                            map[(size_t)(b01 + step[2])] = gen;
+                    }
+                }
+            } else {
+                int idx[8] = {0};
+                while (true) {
+                    int64_t key = base;
+                    for (int d = 0; d < nd; ++d)
+                        if (idx[d]) key += step[d];
+                    map[(size_t)key] = gen;
+                    int d = nd - 1;
+                    while (d >= 0 && ++idx[d] >= nsteps[d]) idx[d--] = 0;
+                    if (d < 0) break;
+                }
             }
         }
     } else {
@@ -673,7 +710,33 @@ int downsample_chunk_rulebook2(const int32_t* coords, int64_t n, int nd,
     }
 
     // SWAR scan: 8 map bytes per probe (the map is large and sparse — the
-    // byte-at-a-time scan was ~1/3 of this function at stage-1 grid sizes)
+    // byte-at-a-time scan was ~1/3 of this function at stage-1 grid sizes).
+    // Key decode: power-of-two dims decode by shift/mask (the common grids
+    // here are 2^k in y/x), leaving at most one hardware idiv per row.
+    int shift_bits[8];
+    int64_t shift_mask[8];
+    bool pow2[8];
+    for (int d = 0; d < nd; ++d) {
+        const int32_t v = out_spatial[d];
+        pow2[d] = (v & (v - 1)) == 0;
+        int bits = 0;
+        while ((1 << bits) < v) ++bits;
+        shift_bits[d] = bits;
+        shift_mask[d] = v - 1;
+    }
+    auto decode = [&](int64_t rem, int32_t* oc) {
+        for (int d = nd - 1; d >= 0; --d) {
+            if (pow2[d]) {
+                oc[1 + d] = (int32_t)(rem & shift_mask[d]);
+                rem >>= shift_bits[d];
+            } else {
+                const int64_t q = rem / out_spatial[d];
+                oc[1 + d] = (int32_t)(rem - q * out_spatial[d]);
+                rem = q;
+            }
+        }
+        oc[0] = (int32_t)rem;
+    };
     int64_t m = 0;
     {
         const uint8_t* mp = map.data();
@@ -689,26 +752,14 @@ int downsample_chunk_rulebook2(const int32_t* coords, int64_t n, int nd,
             if (!hit) { key += 8; continue; }
             for (int j = 0; j < 8 && m < m_cap; ++j) {
                 if (mp[key + j] != gen) continue;
-                int64_t rem = key + j;
-                int32_t* oc = out_coords + m * (1 + nd);
-                for (int d = nd - 1; d >= 0; --d) {
-                    oc[1 + d] = (int32_t)(rem % out_spatial[d]);
-                    rem /= out_spatial[d];
-                }
-                oc[0] = (int32_t)rem;
+                decode(key + j, out_coords + m * (1 + nd));
                 ++m;
             }
             key += 8;
         }
         for (; key < out_size && m < m_cap; ++key) {
             if (mp[key] != gen) continue;
-            int64_t rem = key;
-            int32_t* oc = out_coords + m * (1 + nd);
-            for (int d = nd - 1; d >= 0; --d) {
-                oc[1 + d] = (int32_t)(rem % out_spatial[d]);
-                rem /= out_spatial[d];
-            }
-            oc[0] = (int32_t)rem;
+            decode(key, out_coords + m * (1 + nd));
             ++m;
         }
     }

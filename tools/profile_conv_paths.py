@@ -1,0 +1,144 @@
+"""Microbenchmark: chunk-gather vs one-hot Pallas kernel per conv shape.
+
+Times a single submanifold conv layer on synthetic lidar-ring coordinates at
+each backbone stage's (rows, channels) on the real device, for bf16 and int8,
+on both execution paths.  Informs the per-stage path routing in
+q3d_tpu/ops/spconv/modules.py (the `wide_enough` predicate).
+
+Usage: python tools/profile_conv_paths.py [--iters 30]
+"""
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(ROOT / ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--bm", type=int, default=128)
+    ap.add_argument("--s", type=int, default=256)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from q3d_tpu.config import cfg_from_yaml_file, EDict
+    from q3d_tpu.datasets import build_dataloader
+    from q3d_tpu.runtime import native
+    from q3d_tpu.ops.spconv import engine, pallas_conv
+    from q3d_tpu.ops.spconv.sparse_tensor import SparseConvTensor, linearize
+
+    cfg = cfg_from_yaml_file(
+        str(ROOT / "tools/cfgs/synthetic_models/centerpoint_bench.yaml"),
+        EDict())
+    dataset, loader, _ = build_dataloader(cfg.DATA_CONFIG, cfg.CLASS_NAMES,
+                                          batch_size=1, training=False)
+    raw = next(iter(loader))
+    vox = np.asarray(raw["voxel_coords"])
+    nx, ny, nz = (int(g) for g in dataset.grid_size)
+    sparse_shape = (nz + 1, ny, nx)
+    caps = [38000, 30000, 16800]
+    books = native.build_voxel_backbone_books(vox, sparse_shape, caps)
+    coords0 = native.flatten_sort_coords(vox, sparse_shape)
+
+    # per-stage (coords, spatial, chunk_book, channels)
+    stages = []
+    sp = sparse_shape
+    cur = coords0
+    chans = [16, 32, 64, 128]
+    pads = [(1, 1, 1), (1, 1, 1), (0, 1, 1)]
+    for i in range(4):
+        stages.append((cur, sp, books["subm"][i], chans[i]))
+        if i == 3:
+            break
+        oc, _ = books["down"][i]
+        cur = oc
+        sp = tuple((sp[d] + 2 * pads[i][d] - 3) // 2 + 1 for d in range(3))
+
+    def time_loop(jfn, *arrs, iters=args.iters):
+        _ = jax.block_until_ready(jfn(*arrs, 1))
+        ts = min(time.perf_counter() - t0 for t0 in
+                 [time.perf_counter()] if False) if False else None
+        def run(k):
+            t0 = time.perf_counter()
+            jax.block_until_ready(jfn(*arrs, k))
+            return time.perf_counter() - t0
+        t_short = min(run(1), run(1))
+        t_long = run(1 + iters)
+        return max(t_long - t_short, 1e-9) / iters
+
+    results = {}
+    for si, (coords, sp, chunk_np, C) in enumerate(stages):
+        N = coords.shape[0]
+        key_np = np.asarray(
+            linearize(jnp.asarray(coords), sp, 1)).astype(np.int32)
+        st_keys = jnp.asarray(key_np)
+        xcol = jnp.asarray(coords[:, -1])
+        chunk = jnp.asarray(chunk_np)
+        nxs = int(sp[-1])
+        for dtype, dname in ((jnp.bfloat16, "bf16"), (jnp.int8, "int8")):
+            if dtype == jnp.int8:
+                feats = jnp.asarray(
+                    np.random.randint(-127, 127, (N, C)), jnp.int8)
+                w = jnp.asarray(np.random.randint(-8, 8, (27, C, C)), jnp.int8)
+            else:
+                feats = jnp.asarray(np.random.randn(N, C), dtype)
+                w = jnp.asarray(np.random.randn(27, C, C) * 0.1, dtype)
+
+            def gfn(feats, keys, xcol, chunk, w, k, _nx=nxs):
+                def body(i, s):
+                    f = feats
+                    if f.dtype != jnp.int8:
+                        f = f + (s * 1e-12).astype(f.dtype)
+                    out = engine.gather_conv_chunked(f, keys, xcol, _nx,
+                                                     chunk, w)
+                    return out.astype(jnp.float32).sum()
+                return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+            prep = pallas_conv.prepare_chunk(chunk_np if False else chunk, N,
+                                             args.bm, args.s)
+            prep = jax.device_put(jax.tree_util.tree_map(jnp.asarray, prep))
+
+            def kfn(feats, keys, xcol, chunk, w, k, _nx=nxs, _prep=prep):
+                def body(i, s):
+                    f = feats
+                    if f.dtype != jnp.int8:
+                        f = f + (s * 1e-12).astype(f.dtype)
+                    out = pallas_conv.gather_conv_chunked_fast(
+                        f, keys, xcol, _nx, chunk, w, prep=_prep,
+                        force_kernel=True, bm=args.bm, s=args.s)
+                    return out.astype(jnp.float32).sum()
+                return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+            jg = jax.jit(gfn, static_argnames=())
+            jk = jax.jit(kfn)
+            tg = time_loop(jg, feats, st_keys, xcol, chunk, w)
+            try:
+                tk = time_loop(jk, feats, st_keys, xcol, chunk, w)
+            except Exception as e:  # noqa: BLE001
+                log(f"kernel failed stage{si+1} {dname}: {e}")
+                tk = float("nan")
+            results[f"stage{si+1}_{dname}"] = {
+                "N": N, "C": C, "gather_ms": round(tg * 1e3, 3),
+                "onehot_ms": round(tk * 1e3, 3)}
+            log(f"stage{si+1} {dname}: N={N} C={C} "
+                f"gather {tg*1e3:.3f} ms  onehot {tk*1e3:.3f} ms")
+
+    import json
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
