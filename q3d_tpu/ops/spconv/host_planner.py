@@ -43,14 +43,14 @@ def voxel_backbone_plan(sparse_shape, caps, res_backbone=False):
     def keys(i):
         return [f"subm{i}"] + ([f"res{i}"] if res_backbone else [])
     return [
-        ("subm", keys(1), 3, 1),
-        ("down", 3, 2, 1, caps.get("x_conv2")),
-        ("subm", keys(2), 3, 1),
-        ("down", 3, 2, 1, caps.get("x_conv3")),
-        ("subm", keys(3), 3, 1),
-        ("down", 3, 2, (0, 1, 1), caps.get("x_conv4")),
-        ("subm", keys(4), 3, 1),
-        ("down", (3, 1, 1), (2, 1, 1), 0, caps.get("out")),
+        ("subm", keys(1), 3, 1, 16),
+        ("down", 3, 2, 1, caps.get("x_conv2"), 16),
+        ("subm", keys(2), 3, 1, 32),
+        ("down", 3, 2, 1, caps.get("x_conv3"), 32),
+        ("subm", keys(3), 3, 1, 64),
+        ("down", 3, 2, (0, 1, 1), caps.get("x_conv4"), 64),
+        ("subm", keys(4), 3, 1, 128),
+        ("down", (3, 1, 1), (2, 1, 1), 0, caps.get("out"), 128),
     ]
 
 
@@ -65,10 +65,12 @@ def voxelnext_plan(model_cfg):
     shared_conv books depend on the device-computed bev_sum_pool coordinate
     set and stay on the device."""
     ks = [int(k) for k in model_cfg.get("SPCONV_KERNEL_SIZES", [3, 3, 3, 3])]
-    plan = [("subm", ["subm1", "res1"], 3, 1)]
-    for stage, k in zip(range(2, 7), [ks[0], ks[1], ks[2], ks[3], ks[3]]):
-        plan.append(("down", k, 2, k // 2, None))
-        plan.append(("subm", [f"res{stage}"], 3, 1))
+    chans = [16, 32, 64, 128, 128, 128]
+    plan = [("subm", ["subm1", "res1"], 3, 1, 16)]
+    for i, (stage, k) in enumerate(zip(range(2, 7),
+                                       [ks[0], ks[1], ks[2], ks[3], ks[3]])):
+        plan.append(("down", k, 2, k // 2, None, chans[i]))
+        plan.append(("subm", [f"res{stage}"], 3, 1, chans[i + 1]))
     return plan
 
 
@@ -81,14 +83,14 @@ def unet_plan(caps):
     directly.  Inverse-conv rulebooks themselves are built on device (not
     cached by the module)."""
     plan = [
-        ("subm", ["subm1"], 3, 1),
-        ("down", 3, 2, 1, caps.get("x_conv2")),
-        ("subm", ["subm2", "up2_m", "up2_t"], 3, 1),
-        ("down", 3, 2, 1, caps.get("x_conv3")),
-        ("subm", ["subm3", "up3_m", "up3_t"], 3, 1),
-        ("down", 3, 2, (0, 1, 1), caps.get("x_conv4")),
-        ("subm", ["subm4", "up4_m", "up4_t"], 3, 1),
-        ("down", (3, 1, 1), (2, 1, 1), 0, caps.get("out")),
+        ("subm", ["subm1"], 3, 1, 16),
+        ("down", 3, 2, 1, caps.get("x_conv2"), 16),
+        ("subm", ["subm2", "up2_m", "up2_t"], 3, 1, 64),
+        ("down", 3, 2, 1, caps.get("x_conv3"), 32),
+        ("subm", ["subm3", "up3_m", "up3_t"], 3, 1, 64),
+        ("down", 3, 2, (0, 1, 1), caps.get("x_conv4"), 64),
+        ("subm", ["subm4", "up4_m", "up4_t"], 3, 1, 128),
+        ("down", (3, 1, 1), (2, 1, 1), 0, caps.get("out"), 128),
     ]
     return plan
 
@@ -118,26 +120,36 @@ def build_rulebooks(plan, voxel_coords, sparse_shape):
 
     for step in plan:
         if step[0] == "subm":
-            _, ikeys, k, dil = step
+            _, ikeys, k, dil, cin = step
             if _chunkable(k):
                 # chunked anchor+code books feed the engine's chunk cache
                 # directly (3x less host work + transfer than (N, 27))
                 chunk = native.subm_chunk_rulebook(coords, spatial, k, dil)
+                # one-hot-kernel prep only where the convs route to the
+                # kernel (cin >= 64, see pallas_conv.gather_conv_chunked_fast)
+                prep = native.chunk_prep(chunk, coords.shape[0]) \
+                    if cin >= 64 else None
                 for kk in ikeys:
-                    out["chunk|" + subm_cache_key(kk, spatial, k, dil)] = chunk
+                    ck = subm_cache_key(kk, spatial, k, dil)
+                    out["chunk|" + ck] = chunk
+                    if prep is not None:
+                        out["prep|" + ck] = prep
             else:
                 gather = native.subm_rulebook(coords, spatial, k, dil)
                 for kk in ikeys:
                     out[subm_cache_key(kk, spatial, k, dil)] = gather
         else:
-            _, k, s, p, cap_param = step
+            _, k, s, p, cap_param, cin = step
             cap = cap_param or coords.shape[0]
             if _chunkable(k):
                 oc, chunk, out_spatial = native.downsample_chunk_rulebook(
                     coords, spatial, k, s, p, cap)
+                ck = down_cache_key(spatial, k, s, p, cap_param)
                 # stored len-2: out_spatial is static math device-side
-                out["chunkdown|" + down_cache_key(spatial, k, s, p,
-                                                  cap_param)] = (oc, chunk)
+                out["chunkdown|" + ck] = (oc, chunk)
+                if cin >= 64:
+                    out["prep|" + ck] = native.chunk_prep(
+                        chunk, coords.shape[0])
             else:
                 oc, gather, out_spatial = native.downsample_rulebook(
                     coords, spatial, k, s, p, cap)
@@ -185,14 +197,24 @@ def build_for_backbone(backbone_name, model_cfg, grid_size, voxel_coords,
     spatial = sparse_shape
     ikeys = ["subm1", "subm2", "subm3", "subm4"]
     pads = [1, 1, (0, 1, 1)]
+    ns = [n, cap_list[0], cap_list[1], cap_list[2]]
+    chans = [16, 32, 64, 128]
     for stage in range(4):
+        # one-hot-kernel prep only for kernel-routed widths (cin >= 64)
+        prep = native.chunk_prep(books["subm"][stage], ns[stage]) \
+            if chans[stage] >= 64 else None
         for kk in [ikeys[stage]] + (_RES_KEYS.get(ikeys[stage], [])
                                     if res else []):
-            out["chunk|" + subm_cache_key(kk, spatial, 3, 1)] =                 books["subm"][stage]
+            ck = subm_cache_key(kk, spatial, 3, 1)
+            out["chunk|" + ck] = books["subm"][stage]
+            if prep is not None:
+                out["prep|" + ck] = prep
         if stage == 3:
             break
         oc, chunk = books["down"][stage]
-        out["chunkdown|" + down_cache_key(spatial, 3, 2, pads[stage],
-                                          cap_list[stage])] = (oc, chunk)
+        dk = down_cache_key(spatial, 3, 2, pads[stage], cap_list[stage])
+        out["chunkdown|" + dk] = (oc, chunk)
+        if chans[stage] >= 64:
+            out["prep|" + dk] = native.chunk_prep(chunk, ns[stage])
         spatial = down_out_spatial(spatial, 3, 2, pads[stage])
     return out

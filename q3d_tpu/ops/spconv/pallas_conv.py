@@ -333,10 +333,12 @@ def gather_conv_chunked_fast(features, keys, xcol, nx, chunk_idx, weight,
     n, cin = features.shape
     m, gk = chunk_idx.shape
     kk, _, cout = weight.shape
-    # measured v5e routing: the one-hot kernel's cycles scale with the
-    # 128-lane-padded span width regardless of C, so it only beats the row
-    # gather once the conv is wide (stage 3/4 of the voxel backbones, both
-    # dtypes); narrow stages stay on the gather path
+    # measured v5e routing (tools/profile_conv_paths.py): ISOLATED, the
+    # one-hot kernel beats the row gather at every width, but CHAINED
+    # (convs back-to-back, the model case) the gather path wins at narrow
+    # widths — stage1 C=16: gather 5.15 ms vs kernel 6.66 ms per 5-conv
+    # chain; C=32: 6.06 vs 6.44 — while at C >= 64 the kernel stays ~2x
+    # faster (1.07 vs 2.90 at C=64).  So only wide convs route to it.
     # the kernel also requires HOST-built rulebooks (allow_kernel): with
     # device-built books the XLA scheduling of the prep + scalar-prefetch
     # chain regresses badly (measured 2x on v5e), and the gather path wins
@@ -382,7 +384,11 @@ def gather_conv_chunked_fast(features, keys, xcol, nx, chunk_idx, weight,
 
 
 def overflow_cap(m):
-    return max(2048, m // 4)
+    # measured real overflow on lidar-like scenes: <100 entries at 40k rows
+    # (anchors of a 128-output block span at most a couple of y/z row
+    # crossings); the ok-flag falls back to the exact gather path if a
+    # frame ever exceeds this
+    return max(1024, m // 16)
 
 
 def prepare_chunk(chunk_idx, capacity, bm=DEFAULT_BM, s=DEFAULT_S, cap=None):

@@ -79,6 +79,10 @@ def _load():
     lib.build_voxel_backbone_books.restype = ctypes.c_int
     lib.build_voxel_backbone_books.argtypes = [
         i32p, ctypes.c_int64, ctypes.c_int64, i32p, i32p] + [i32p] * 11
+    lib.chunk_prep.restype = ctypes.c_int
+    lib.chunk_prep.argtypes = [
+        i32p, ctypes.c_int64, ctypes.c_int, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int64] + [i32p] * 7
     return lib
 
 
@@ -234,6 +238,33 @@ def flatten_sort_coords(voxel_coords, spatial):
     out = np.empty((B * V, 1 + nd), np.int32)
     l.flatten_sort_coords(_i32(vox), B, V, nd, _i32(sp), _i32(out))
     return out
+
+
+def chunk_prep(chunk, capacity, bm=128, s=256, q=32, cap=None):
+    """One-hot-kernel prep for a chunked rulebook — host twin of
+    ``pallas_conv.prepare_chunk`` (same tuple layout, pinned equal by
+    tests/test_native_runtime.py): -> (anchor (Mpad, G), code (Mpad, G),
+    span_q (3, NB, G), (midx, ga, gcode, gslot, ok), ok)."""
+    l = _load()
+    assert l is not None
+    chunk = np.ascontiguousarray(chunk, np.int32)
+    m, g = chunk.shape
+    if cap is None:
+        cap = max(1024, m // 16)
+    mpad = ((m + bm - 1) // bm) * bm
+    nb = mpad // bm
+    anchor = np.empty((mpad, g), np.int32)
+    code = np.empty((mpad, g), np.int32)
+    span_q = np.empty((3, nb, g), np.int32)
+    midx = np.empty(cap, np.int32)
+    ga = np.empty(cap, np.int32)
+    gcode = np.empty(cap, np.int32)
+    gslot = np.empty(cap, np.int32)
+    ok = l.chunk_prep(_i32(chunk), m, g, int(capacity), bm, s, q, cap,
+                      _i32(anchor), _i32(code), _i32(span_q),
+                      _i32(midx), _i32(ga), _i32(gcode), _i32(gslot))
+    okb = np.bool_(ok == 1)
+    return anchor, code, span_q, (midx, ga, gcode, gslot, okb), okb
 
 
 def build_voxel_backbone_books(voxel_coords, sparse_shape, caps):

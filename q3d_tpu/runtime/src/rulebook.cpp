@@ -857,6 +857,119 @@ int downsample_chunk_rulebook2(const int32_t* coords, int64_t n, int nd,
 
 }  // extern "C"
 
+// One-hot-kernel prep for a chunked rulebook (host twin of
+// q3d_tpu.ops.spconv.pallas_conv.prepare_chunk, pinned equal by
+// tests/test_native_runtime.py).  chunk: (m, g) combined anchor+code table
+// over `capacity` input rows.  Outputs:
+//   anchor/code: (mpad, g) int32, mpad = ceil(m/bm)*bm, pads -1 / 0
+//   span_q:      (3, mpad/bm, g) int32 [span_a_q, span_b_q, use_b]
+//   ovf:         midx/ga/gcode/gslot (cap,) int32, -1/-1/0/0 padded
+// Returns 1 when the overflow list fit (ok), else 0.
+// GT: compile-time group count (0 = generic); the g==9 instantiation lets
+// the compiler fully unroll and vectorize the per-row group loop.
+template <int GT>
+static int chunk_prep_impl(const int32_t* chunk, int64_t m, int g_rt,
+                           int64_t capacity, int bm, int s, int q,
+                           int64_t cap, int32_t* anchor, int32_t* code,
+                           int32_t* span_q, int32_t* midx, int32_t* ga,
+                           int32_t* gcode, int32_t* gslot) {
+    const int g = GT ? GT : g_rt;
+    const int64_t mpad = ((m + bm - 1) / bm) * bm;
+    const int64_t nb = mpad / bm;
+    const int32_t big = 1 << 30;
+    const int64_t npad_q = (capacity + q - 1) / q;
+    const int64_t hi = npad_q - s / q > 0 ? npad_q - s / q : 0;
+    int32_t* sa_out = span_q;                 // (nb, g)
+    int32_t* sb_out = span_q + nb * g;
+    int32_t* ub_out = span_q + 2 * nb * g;
+    std::vector<int32_t> amin(g), amax(g);
+    int64_t ovf_count = 0;
+    const int32_t cap32 = (int32_t)capacity;
+    for (int64_t i = 0; i < nb; ++i) {
+        int32_t* ab = anchor + i * bm * g;
+        int32_t* cb = code + i * bm * g;
+        const int64_t rows = i * bm + bm <= m ? bm : (m - i * bm > 0
+                                                      ? m - i * bm : 0);
+        for (int jg = 0; jg < g; ++jg) { amin[jg] = big; amax[jg] = -1; }
+        // pass 1: split anchor/code, track block min/max (fused, branchless)
+        const int32_t* crow = chunk + i * bm * g;
+        for (int64_t r = 0; r < rows; ++r)
+            for (int jg = 0; jg < g; ++jg) {
+                const int32_t v = crow[r * g + jg];
+                // entries are anchor + code*cap with anchor < cap, so the
+                // code is two compares (the idiv here dominated the pass)
+                const int32_t c = (v >= cap32) + (v >= 2 * cap32);
+                const int32_t a = v >= 3 * cap32 ? -1 : v - c * cap32;
+                ab[r * g + jg] = a;
+                cb[r * g + jg] = c;
+                const int32_t am = a >= 0 ? a : big;
+                amin[jg] = am < amin[jg] ? am : amin[jg];
+                amax[jg] = a > amax[jg] ? a : amax[jg];
+            }
+        for (int64_t r = rows; r < bm; ++r)
+            for (int jg = 0; jg < g; ++jg) {
+                ab[r * g + jg] = -1;
+                cb[r * g + jg] = 0;
+            }
+        int64_t a0s[32], b0s[32];
+        for (int jg = 0; jg < g; ++jg) {
+            int64_t sa = amin[jg] == big ? 0 : amin[jg] / q;
+            sa = sa < 0 ? 0 : (sa > hi ? hi : sa);
+            // python floor-div then clip to [0, hi]: values <= 0 agree
+            // between trunc and floor after the clip
+            int64_t sb_num = (int64_t)amax[jg] + 1 - s + q - 1;
+            int64_t sb = amax[jg] < 0 ? 0
+                : (sb_num >= 0 ? sb_num / q : 0);
+            sb = sb < 0 ? 0 : (sb > hi ? hi : sb);
+            sa_out[i * g + jg] = (int32_t)sa;
+            sb_out[i * g + jg] = (int32_t)sb;
+            ub_out[i * g + jg] = 0;
+            a0s[jg] = sa * q;
+            b0s[jg] = sb * q;
+        }
+        // pass 2 (block still L1-hot): use_b + overflow in one row-major
+        // sweep.  An anchor in B's window but outside A's FORCES use_b, so
+        // overflow <=> a >= 0 && !in_a && !in_b — independent of use_b.
+        for (int64_t r = 0; r < rows; ++r)
+            for (int jg = 0; jg < g; ++jg) {
+                const int32_t a = ab[r * g + jg];
+                if (a < 0) continue;
+                const bool in_a = a >= a0s[jg] && a < a0s[jg] + s;
+                if (in_a) continue;
+                const bool in_b = a >= b0s[jg] && a < b0s[jg] + s;
+                if (in_b) { ub_out[i * g + jg] = 1; continue; }
+                if (ovf_count < cap) {
+                    midx[ovf_count] = (int32_t)(i * bm + r);
+                    ga[ovf_count] = a;
+                    gcode[ovf_count] = cb[r * g + jg];
+                    gslot[ovf_count] = jg;
+                }
+                ++ovf_count;
+            }
+    }
+    for (int64_t jj = ovf_count < cap ? ovf_count : cap; jj < cap; ++jj) {
+        midx[jj] = -1; ga[jj] = -1; gcode[jj] = 0; gslot[jj] = 0;
+    }
+    return ovf_count <= cap ? 1 : 0;
+}
+
+extern "C" int chunk_prep(const int32_t* chunk, int64_t m, int g,
+                          int64_t capacity, int bm, int s, int q,
+                          int64_t cap, int32_t* anchor, int32_t* code,
+                          int32_t* span_q, int32_t* midx, int32_t* ga,
+                          int32_t* gcode, int32_t* gslot) {
+    if (g == 9)
+        return chunk_prep_impl<9>(chunk, m, g, capacity, bm, s, q, cap,
+                                  anchor, code, span_q, midx, ga, gcode,
+                                  gslot);
+    if (g == 1)
+        return chunk_prep_impl<1>(chunk, m, g, capacity, bm, s, q, cap,
+                                  anchor, code, span_q, midx, ga, gcode,
+                                  gslot);
+    return chunk_prep_impl<0>(chunk, m, g, capacity, bm, s, q, cap,
+                              anchor, code, span_q, midx, ga, gcode, gslot);
+}
+
 // ---------------------------------------------------------------------------
 // v5: whole-plan executor for the VoxelBackBone8x/VoxelResBackBone8x
 // topology — one ctypes crossing, one row table per stage shared by the

@@ -90,3 +90,34 @@ def test_native_chunk_rulebooks_bitmatch_engine(seed, spatial):
         assert tuple(hosp) == tuple(out_sp)
         np.testing.assert_array_equal(np.asarray(out_idx), oc)
         np.testing.assert_array_equal(np.asarray(chunk), hchunk)
+
+
+def test_chunk_prep_matches_pallas_prepare():
+    """native.chunk_prep == pallas_conv.prepare_chunk on random chunk
+    tables (anchor/code split, block spans, overflow-COO list, ok flag)."""
+    import jax.numpy as jnp
+    from q3d_tpu.runtime import native
+    from q3d_tpu.ops.spconv import pallas_conv
+
+    if not native.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(3)
+    for m, cap_rows in ((1000, 1024), (700, 4096)):
+        g = 9
+        # combined entries: anchor + code*cap_rows, some all-miss
+        anchor = rng.randint(0, cap_rows, (m, g)).astype(np.int32)
+        code = rng.randint(0, 3, (m, g)).astype(np.int32)
+        chunk = anchor + code * cap_rows
+        miss = rng.rand(m, g) < 0.3
+        chunk = np.where(miss, 3 * cap_rows, chunk).astype(np.int32)
+
+        ref = pallas_conv.prepare_chunk(jnp.asarray(chunk), cap_rows)
+        got = native.chunk_prep(chunk, cap_rows)
+        np.testing.assert_array_equal(np.asarray(ref[0]), got[0])  # anchor
+        np.testing.assert_array_equal(np.asarray(ref[1]), got[1])  # code
+        np.testing.assert_array_equal(np.asarray(ref[2]), got[2])  # span_q
+        assert bool(ref[4]) == bool(got[4])
+        if bool(ref[4]):          # overflow list only pinned when it fits
+            for a, b in zip(ref[3][:4], got[3][:4]):
+                np.testing.assert_array_equal(np.asarray(a), b)

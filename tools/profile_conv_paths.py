@@ -9,6 +9,7 @@ Usage: python tools/profile_conv_paths.py [--iters 30]
 """
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -99,9 +100,9 @@ def main():
 
             def gfn(feats, keys, xcol, chunk, w, k, _nx=nxs):
                 def body(i, s):
-                    f = feats
-                    if f.dtype != jnp.int8:
-                        f = f + (s * 1e-12).astype(f.dtype)
+                    # value-dependent zero XLA cannot fold (prevents hoisting)
+                    eps = (s * 1e-38).astype(jnp.int32)
+                    f = feats + eps.astype(feats.dtype)
                     out = engine.gather_conv_chunked(f, keys, xcol, _nx,
                                                      chunk, w)
                     return out.astype(jnp.float32).sum()
@@ -113,9 +114,8 @@ def main():
 
             def kfn(feats, keys, xcol, chunk, w, k, _nx=nxs, _prep=prep):
                 def body(i, s):
-                    f = feats
-                    if f.dtype != jnp.int8:
-                        f = f + (s * 1e-12).astype(f.dtype)
+                    eps = (s * 1e-38).astype(jnp.int32)
+                    f = feats + eps.astype(feats.dtype)
                     out = pallas_conv.gather_conv_chunked_fast(
                         f, keys, xcol, _nx, chunk, w, prep=_prep,
                         force_kernel=True, bm=args.bm, s=args.s)
@@ -140,5 +140,92 @@ def main():
     print(json.dumps(results))
 
 
+
+
+
+def chain_bench():
+    """Chained-stage variant: 5 convs back-to-back per stage (as in the
+    model), comparing gather vs one-hot routing; plus downsample books."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from q3d_tpu.config import cfg_from_yaml_file, EDict
+    from q3d_tpu.datasets import build_dataloader
+    from q3d_tpu.runtime import native
+    from q3d_tpu.ops.spconv import engine, pallas_conv
+    from q3d_tpu.ops.spconv.sparse_tensor import linearize
+    import time as _t
+
+    cfg = cfg_from_yaml_file(
+        str(ROOT / "tools/cfgs/synthetic_models/centerpoint_bench.yaml"),
+        EDict())
+    dataset, loader, _ = build_dataloader(cfg.DATA_CONFIG, cfg.CLASS_NAMES,
+                                          batch_size=1, training=False)
+    raw = next(iter(loader))
+    vox = np.asarray(raw["voxel_coords"])
+    nx, ny, nz = (int(g) for g in dataset.grid_size)
+    sparse_shape = (nz + 1, ny, nx)
+    books = native.build_voxel_backbone_books(vox, sparse_shape,
+                                              [38000, 30000, 16800])
+    coords0 = native.flatten_sort_coords(vox, sparse_shape)
+
+    def timed(jfn, *arrs, iters=20):
+        jax.block_until_ready(jfn(*arrs, 1))
+        def run(k):
+            t0 = _t.perf_counter()
+            jax.block_until_ready(jfn(*arrs, k))
+            return _t.perf_counter() - t0
+        ts = min(run(1), run(1))
+        return max(run(1 + iters) - ts, 1e-9) / iters
+
+    for C, si, coords, sp in ((16, 0, coords0, sparse_shape),
+                              (32, 1, books["down"][0][0], (21, 512, 512))):
+        N = coords.shape[0]
+        chunk = jnp.asarray(books["subm"][si])
+        keys = jnp.asarray(np.asarray(
+            linearize(jnp.asarray(coords), sp, 1)).astype(np.int32))
+        xcol = jnp.asarray(coords[:, -1])
+        nxs = int(sp[-1])
+        dt = jnp.int8 if os.environ.get("CHAIN_INT8") else jnp.bfloat16
+        if dt == jnp.int8:
+            feats = jnp.asarray(np.random.randint(-40, 40, (N, C)), jnp.int8)
+            ws = [jnp.asarray(np.random.randint(-4, 4, (27, C, C)), jnp.int8)
+                  for _ in range(5)]
+        else:
+            feats = jnp.asarray(np.random.randn(N, C), dt)
+            ws = [jnp.asarray(np.random.randn(27, C, C) * 0.05, dt)
+                  for _ in range(5)]
+        span_s = int(os.environ.get("CHAIN_S", "256"))
+        span_bm = int(os.environ.get("CHAIN_BM", "128"))
+        prep = native.chunk_prep(np.asarray(chunk), N, bm=span_bm, s=span_s)
+        prep = jax.device_put(prep)
+
+        def chain(use_kernel, feats, chunk, ws, k):
+            def body(i, s):
+                f = feats + (s * 1e-38).astype(jnp.int32).astype(feats.dtype)
+                for w in ws:
+                    if use_kernel:
+                        f = pallas_conv.gather_conv_chunked_fast(
+                            f, keys, xcol, nxs, chunk, w, prep=prep,
+                            force_kernel=True, bm=span_bm, s=span_s)
+                    else:
+                        f = engine.gather_conv_chunked(f, keys, xcol, nxs,
+                                                       chunk, w)
+                    f = jnp.clip(jnp.maximum(f, 0), 0, 40).astype(
+                        feats.dtype)
+                return f.astype(jnp.float32).sum()
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+        jg = jax.jit(functools.partial(chain, False))
+        jk = jax.jit(functools.partial(chain, True))
+        tg = timed(jg, feats, chunk, ws)
+        tk = timed(jk, feats, chunk, ws)
+        log(f"chain stage{si+1} C={C}: gather5 {tg*1e3:.3f} ms  "
+            f"kernel5 {tk*1e3:.3f} ms")
+
+
 if __name__ == "__main__":
-    main()
+    if "--chain" in sys.argv:
+        chain_bench()
+    else:
+        main()
