@@ -19,9 +19,13 @@ class MPPNet(Detector3DTemplate):
 
 class MPPNetE2E(MPPNet):
     """Streaming variant (reference ``detectors/mppnet_e2e.py`` +
-    ``mppnet_memory_bank_e2e.py``): instead of re-cropping all T frames each
-    step, a rolling memory of past per-frame proposals is carried in the
-    batch under the same ``roi_boxes`` layout — feature-bank caching is a
-    host-side concern here (the jitted program is identical), so the head is
-    shared."""
+    ``mppnet_memory_bank_e2e.py``).  Functional re-design of the reference's
+    stateful memory bank: the caller carries the rolling per-frame geometry
+    feature bank in the batch as ``bank_feats`` (B, T-1, R, P, C); the head
+    then crops + pools ONLY the current frame, reuses cached features for
+    past frames (gathered through the trajectory matching table), and emits
+    the rolled bank as ``bank_feats_out`` for the next step.  Past-frame
+    proposals ride the same ``roi_boxes`` (B, T, R, C) layout, rolled
+    host-side with scores/labels (reference memory_rois/labels/scores,
+    mppnet_e2e.py:47-62)."""
     pass

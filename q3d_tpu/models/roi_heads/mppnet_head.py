@@ -56,6 +56,19 @@ def corners_and_center(boxes):
     return pts.reshape(*shape, 27)
 
 
+def proxy_points_of(boxes, grid_size):
+    """(B, R, T, C) frame boxes -> (B*R*T, P, 3) proxy grid points (the
+    reference's get_proxy_points_of_roi, mppnet_memory_bank_e2e.py:123)."""
+    g = grid_size
+    lin = (jnp.arange(g, dtype=jnp.float32) + 0.5) / g - 0.5
+    gz, gy, gx = jnp.meshgrid(lin, lin, lin, indexing="ij")
+    local = jnp.stack([gx.reshape(-1), gy.reshape(-1), gz.reshape(-1)], 1)
+    local = local[None] * boxes[..., None, 3:6].reshape(-1, 1, 3)
+    rot = common_utils.rotate_points_along_z(
+        local, boxes[..., 6].reshape(-1))
+    return rot + boxes[..., :3].reshape(-1, 1, 3)
+
+
 class MPPNetHead(RoIHeadTemplate):
 
     def _tcfg(self):
@@ -67,9 +80,22 @@ class MPPNetHead(RoIHeadTemplate):
         """cur_boxes: (B, R, C>=9); proposals: (B, T, R, C) per-frame
         proposal sets (frame 0 == current) -> (traj (B, T, R, C),
         valid_length (B, T, R)) — reference mppnet_head.py:635."""
+        traj, vl, _ = MPPNetHead.generate_trajectory_with_idx(
+            self, cur_boxes, proposals, prop_valid)
+        return traj, vl
+
+    def generate_trajectory_with_idx(self, cur_boxes, proposals, prop_valid):
+        """As ``generate_trajectory`` but also returns the per-frame matched
+        proposal index (B, T, R) — the matching table the E2E feature bank
+        gathers cached features with (reference mppnet_memory_bank_e2e.py
+        matching_table, :457)."""
         T = proposals.shape[1]
+        R = cur_boxes.shape[1]
         traj = [cur_boxes]
         valid_len = [jnp.ones(cur_boxes.shape[:2], bool)]
+        ar = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None],
+                              cur_boxes.shape[:2])
+        midx = [ar]
 
         def match(prev_b, props_b, pv_b):
             prop = prev_b.at[:, 0:2].add(prev_b[:, 7:9])       # propagate xy
@@ -78,15 +104,16 @@ class MPPNetHead(RoIHeadTemplate):
             best = iou.max(axis=1)
             idx = iou.argmax(axis=1)
             hit = best >= 0.5
-            return jnp.where(hit[:, None], props_b[idx], prev_b), hit
+            return jnp.where(hit[:, None], props_b[idx], prev_b), hit, idx
 
         for i in range(1, T):
-            nxt, hit = jax.vmap(match)(traj[i - 1], proposals[:, i],
-                                       prop_valid[:, i])
+            nxt, hit, idx = jax.vmap(match)(traj[i - 1], proposals[:, i],
+                                            prop_valid[:, i])
             # unmatched rows keep the current box (reference init semantics)
             traj.append(jnp.where(hit[..., None], nxt, cur_boxes))
             valid_len.append(hit)
-        return jnp.stack(traj, 1), jnp.stack(valid_len, 1)
+            midx.append(idx.astype(jnp.int32))
+        return jnp.stack(traj, 1), jnp.stack(valid_len, 1), jnp.stack(midx, 1)
 
     # ---------------------------- point cropping --------------------------
 
@@ -144,13 +171,7 @@ class MPPNetHead(RoIHeadTemplate):
                    name="up_dimension_geometry")(feat)
 
         # proxy grid points of each frame's box
-        lin = (jnp.arange(g, dtype=jnp.float32) + 0.5) / g - 0.5
-        gz, gy, gx = jnp.meshgrid(lin, lin, lin, indexing="ij")
-        local = jnp.stack([gx.reshape(-1), gy.reshape(-1), gz.reshape(-1)], 1)
-        local = local[None] * boxes[..., None, 3:6].reshape(-1, 1, 3)
-        rot = common_utils.rotate_points_along_z(
-            local, boxes[..., 6].reshape(-1))
-        proxy = rot + boxes[..., :3].reshape(-1, 1, 3)         # (BRT, P, 3)
+        proxy = proxy_points_of(boxes, g)                      # (BRT, P, 3)
 
         # MSG ball-query pooling points -> proxies, batched over (B*R*T)
         xyz = src[..., :3].reshape(B * R * T, S, 3)
@@ -225,8 +246,8 @@ class MPPNetHead(RoIHeadTemplate):
         B, T, R = proposals.shape[:3]
 
         cur = proposals[:, 0]
-        traj, valid_len = self.generate_trajectory(cur, proposals,
-                                                   prop_valid)
+        traj, valid_len, match_idx = self.generate_trajectory_with_idx(
+            cur, proposals, prop_valid)
 
         stage1_score = roi_scores[:, 0]
         if train:
@@ -241,10 +262,36 @@ class MPPNetHead(RoIHeadTemplate):
 
         points = batch_dict["points"]                          # (B,N,5)
         pmask = batch_dict["points_mask"]
-        src_pts = self.crop_trajectory_points(points, pmask, traj)
         empty = ~jnp.any(jnp.abs(rois[..., 3:6]) > 1e-3, axis=-1)
 
-        geo, proxy = self.geometry_features(src_pts, traj, train)
+        bank = None if train else batch_dict.get("bank_feats")
+        if bank is not None:
+            # E2E streaming (reference mppnet_memory_bank_e2e.py:360-466):
+            # crop + pool ONLY the current frame; past frames reuse the
+            # features cached when they were current, gathered through the
+            # trajectory matching table; motion features recompute fresh.
+            P = int(tc.num_proxy_points)
+            src0 = self.crop_trajectory_points(points, pmask, traj[:, :1])
+            geo0, _ = self.geometry_features(src0, traj[:, :1], train)
+            geo0 = geo0.reshape(B, R, P, -1)                   # (B,R,P,C)
+
+            def gather_frame(bank_bi, idx_bi, vl_bi):
+                f = jnp.take(bank_bi, idx_bi, axis=0)          # (R, P, C)
+                return f * vl_bi[:, None, None]
+
+            past = jax.vmap(jax.vmap(gather_frame))(
+                bank, match_idx[:, 1:], valid_len[:, 1:].astype(geo0.dtype))
+            geo = jnp.concatenate([geo0[:, :, None], past.transpose(
+                0, 2, 1, 3, 4)], axis=2)                       # (B,R,T,P,C)
+            geo = geo.reshape(B * R, T * P, -1)
+            tb = traj.transpose(0, 2, 1, 3)                    # (B,R,T,C)
+            g = int(cfg.ROI_GRID_POOL.GRID_SIZE)
+            proxy = proxy_points_of(tb, g).reshape(B * R, T * P, 3)
+            batch_dict["bank_feats_out"] = jnp.concatenate(
+                [geo0[:, None], bank[:, :-1]], axis=1)         # (B,T-1,R,P,C)
+        else:
+            src_pts = self.crop_trajectory_points(points, pmask, traj)
+            geo, proxy = self.geometry_features(src_pts, traj, train)
         mot = self.motion_features(proxy, traj)
         src = geo + mot                                        # (BR, TP, C)
         if cfg.get("USE_TRAJ_EMPTY_MASK", True):

@@ -80,3 +80,39 @@ def test_trajectory_matching():
     np.testing.assert_allclose(traj[0, 1, 0, 0], 10.2, atol=1e-5)
     # unmatched frame keeps the current box
     np.testing.assert_allclose(traj[0, 2, 0, :7], cur[0, 0, :7], atol=1e-5)
+
+
+def test_mppnet_streaming_feature_bank(setup):
+    """E2E streaming path (reference mppnet_memory_bank_e2e.py): past-frame
+    geometry features come from the rolling bank (gathered via the
+    trajectory matching table), only the current frame is cropped+pooled,
+    and the updated bank rolls the new frame in at slot 0."""
+    import jax.numpy as jnp
+
+    cfg, dataset, loader, model, variables = setup
+    batch = load_data_to_device(next(iter(loader)))
+    B, T, R = batch["roi_boxes"].shape[:3]
+    P = int(cfg.MODEL.ROI_HEAD.Transformer.num_proxy_points)
+    C = int(cfg.MODEL.ROI_HEAD.TRANS_INPUT)
+
+    rng = np.random.RandomState(0)
+    bank = jnp.asarray(rng.randn(B, T - 1, R, P, C).astype(np.float32))
+
+    sbatch = dict(batch)
+    sbatch["bank_feats"] = bank
+    out = model.apply(variables, sbatch, train=False)
+
+    assert out["final_boxes"].shape == (B, R, 7)
+    assert np.isfinite(np.asarray(out["final_boxes"])).all()
+    nb = np.asarray(out["bank_feats_out"])
+    assert nb.shape == (B, T - 1, R, P, C)
+    # rolled: slots 1.. carry the previous bank's slots 0..
+    np.testing.assert_allclose(nb[:, 1:], np.asarray(bank)[:, :-1])
+    # slot 0 = freshly pooled current-frame features (not copied from bank)
+    assert np.abs(nb[:, 0]).sum() > 0
+    assert not np.allclose(nb[:, 0], np.asarray(bank)[:, 0])
+
+    # multi-step streaming: feed the bank back, shapes stay fixed
+    sbatch["bank_feats"] = out["bank_feats_out"]
+    out2 = model.apply(variables, sbatch, train=False)
+    assert np.isfinite(np.asarray(out2["final_scores"])).all()
