@@ -101,7 +101,8 @@ class PillarBackBone8x(nn.Module):
 
     @nn.compact
     def __call__(self, batch_dict, train: bool = False):
-        cache = {}
+        cache = dict(batch_dict.get("rulebooks", {}))
+        cache["__host_keys__"] = frozenset(batch_dict.get("rulebooks", {}))
         st = _make_pillar_tensor(batch_dict, self.sparse_shape)
         x1 = _S2(32, 3, 1, 1, "subm", "subm1", name="conv1_0")(st, cache, train)
         x1 = _S2(32, 3, 1, 1, "subm", "subm1", name="conv1_1")(x1, cache, train)
@@ -137,7 +138,8 @@ class PillarRes18BackBone8x(PillarBackBone8x):
 
     @nn.compact
     def __call__(self, batch_dict, train: bool = False):
-        cache = {}
+        cache = dict(batch_dict.get("rulebooks", {}))
+        cache["__host_keys__"] = frozenset(batch_dict.get("rulebooks", {}))
         st = _make_pillar_tensor(batch_dict, self.sparse_shape)
         x1 = Sparse2DBasicBlock(32, "res1", name="conv1_0")(st, cache, train)
         x1 = Sparse2DBasicBlock(32, "res1", name="conv1_1")(x1, cache, train)

@@ -95,8 +95,62 @@ def unet_plan(caps):
     return plan
 
 
+def pillar_plan(res_backbone=False):
+    """Stage plan for PillarBackBone8x / PillarRes18BackBone8x
+    (models/backbones_3d/spconv_backbone_2d.py; reference
+    ``spconv_backbone_2d.py:114,207``): 2D sparse stages 32/64/128/256 at
+    strides 1/2/4/8; the stride-16 conv5 stage is dense and needs no books.
+    Downsample convs pass no out_capacity (inherit input capacity)."""
+    def keys(i):
+        return [f"res{i}"] if res_backbone else [f"subm{i}"]
+    return [
+        ("subm", keys(1), 3, 1, 32),
+        ("down", 3, 2, 1, None, 32),
+        ("subm", keys(2), 3, 1, 64),
+        ("down", 3, 2, 1, None, 64),
+        ("subm", keys(3), 3, 1, 128),
+        ("down", 3, 2, 1, None, 128),
+        ("subm", keys(4), 3, 1, 256),
+    ]
+
+
+def pillar_coords_from_points(points, points_mask, point_cloud_range,
+                              voxel_size, grid_size, max_pillars):
+    """Numpy twin of DynamicPillarVFE's pillar-coordinate derivation
+    (models/backbones_3d/vfe/dynamic_pillar_vfe.py): raw (B, N, C) points ->
+    (P, 3) int32 [b, y, x] sorted by linearized key with -1 pads — the exact
+    coordinate set (and row order) the device pillar tensor uses, so
+    host-built 2D rulebooks reference the same row ids."""
+    pts = np.asarray(points)
+    mask = np.asarray(points_mask).astype(bool)
+    B, N = pts.shape[:2]
+    nx, ny = int(grid_size[0]), int(grid_size[1])
+    vx, vy = float(voxel_size[0]), float(voxel_size[1])
+    x0, y0 = float(point_cloud_range[0]), float(point_cloud_range[1])
+    P = int(max_pillars)
+
+    flat = pts.reshape(B * N, -1)
+    b_idx = np.repeat(np.arange(B, dtype=np.int64), N)
+    cx = np.floor((flat[:, 0] - x0) / vx).astype(np.int64)
+    cy = np.floor((flat[:, 1] - y0) / vy).astype(np.int64)
+    ok = (cx >= 0) & (cx < nx) & (cy >= 0) & (cy < ny) & mask.reshape(-1)
+    key = (b_idx * ny + cy) * nx + cx
+    BIG = np.int64(2) ** 62
+    key = np.where(ok, key, BIG)
+    uk = np.unique(key)
+    uk = uk[uk != BIG][:P]
+    coords = np.full((P, 3), -1, np.int32)
+    n = uk.shape[0]
+    coords[:n, 0] = (uk // (ny * nx)).astype(np.int32)
+    coords[:n, 1] = ((uk // nx) % ny).astype(np.int32)
+    coords[:n, 2] = (uk % nx).astype(np.int32)
+    return coords
+
+
 def build_rulebooks(plan, voxel_coords, sparse_shape):
-    """Execute a plan on host.  voxel_coords: (B, V, nd) numpy.
+    """Execute a plan on host.  voxel_coords: (B, V, nd) numpy, or an
+    already-flattened key-sorted (P, 1+nd) [b, ...] array with -1 pads
+    (the pillar path).
 
     Plan steps:
       ("subm", [indice_keys], kernel, dilation)
@@ -111,7 +165,9 @@ def build_rulebooks(plan, voxel_coords, sparse_shape):
     if not native.available():
         return None
     spatial = tuple(int(s) for s in sparse_shape)
-    coords = native.flatten_sort_coords(np.asarray(voxel_coords), spatial)
+    vox = np.asarray(voxel_coords)
+    coords = vox.astype(np.int32) if vox.ndim == 2 \
+        else native.flatten_sort_coords(vox, spatial)
     out = {}
 
     def _chunkable(k):
@@ -218,3 +274,24 @@ def build_for_backbone(backbone_name, model_cfg, grid_size, voxel_coords,
             out["prep|" + dk] = native.chunk_prep(chunk, ns[stage])
         spatial = down_out_spatial(spatial, 3, 2, pads[stage])
     return out
+
+
+def build_for_pillar_backbone(backbone_name, points, points_mask,
+                              point_cloud_range, voxel_size, grid_size,
+                              max_pillars):
+    """Host rulebooks for the 2D pillar backbones (PillarNet family).
+
+    Derives the pillar coordinate set from the raw points exactly as
+    DynamicPillarVFE does on device, then runs the generic 2D plan.
+    Returns None when unsupported / native lib missing."""
+    from ...runtime import native
+    if not native.available():
+        return None
+    if backbone_name not in ("PillarBackBone8x", "PillarRes18BackBone8x"):
+        return None
+    coords = pillar_coords_from_points(points, points_mask,
+                                       point_cloud_range, voxel_size,
+                                       grid_size, max_pillars)
+    nx, ny = int(grid_size[0]), int(grid_size[1])
+    res = backbone_name == "PillarRes18BackBone8x"
+    return build_rulebooks(pillar_plan(res), coords, (ny, nx))

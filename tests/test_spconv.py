@@ -348,3 +348,48 @@ def test_chunked_gather_dense_occupancy():
         b, z, y, x = np.asarray(st.indices[i])
         np.testing.assert_allclose(chunked[i], oracle[b, z, y, x], rtol=1e-4,
                                    atol=1e-4)
+
+
+def test_host_rulebooks_pillar():
+    """Host 2D plan for PillarBackBone8x (pillar coords derived from raw
+    points exactly like DynamicPillarVFE) must reproduce the device result."""
+    import jax
+    import numpy as np
+    from pathlib import Path
+    from q3d_tpu.config import cfg_from_yaml_file, EDict
+    from q3d_tpu.datasets import build_dataloader
+    from q3d_tpu.models import build_network, load_data_to_device
+    from q3d_tpu.ops.spconv import host_planner
+    from q3d_tpu.runtime import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+
+    cfg_path = Path(__file__).resolve().parent.parent / \
+        "tools/cfgs/synthetic_models/pillarnet_tiny.yaml"
+    cfg = cfg_from_yaml_file(str(cfg_path), EDict())
+    dataset, loader, _ = build_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=2, training=False)
+    model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
+                          dataset=dataset)
+    raw = next(iter(loader))
+    batch = load_data_to_device(raw)
+
+    def run(m, b):
+        b = dict(b)
+        b = m.vfe(b, False)
+        b = m.backbone_3d(b, False)
+        return b["multi_scale_2d_features"]["x_conv4"]
+
+    v = jax.jit(lambda k, b: model.init(k, b, train=False))(
+        jax.random.PRNGKey(0), batch)
+    ref = model.apply(v, batch, method=run)
+
+    books = host_planner.build_for_pillar_backbone(
+        cfg.MODEL.BACKBONE_3D.NAME, raw["points"], raw["points_mask"],
+        dataset.point_cloud_range, dataset.voxel_size, dataset.grid_size,
+        int(cfg.MODEL.VFE.MAX_PILLARS))
+    assert books is not None and len(books) > 0
+    batch2 = load_data_to_device({**raw, "rulebooks": books})
+    got = model.apply(v, batch2, method=run)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-5)
