@@ -16,6 +16,20 @@ host == device equality.
 import numpy as np
 
 from .modules import subm_cache_key, down_cache_key, down_out_spatial
+from .pallas_conv import choose_block
+
+
+def _prep_or_none(native, chunk, capacity, cin):
+    """One-hot-kernel prep for kernel-routed widths (cin >= 16, matching
+    pallas_conv.gather_conv_chunked_fast's routing), with the shared
+    (bm, s) policy so host-built preps are exactly what the device kernel
+    expects."""
+    if cin < 16:
+        return None
+    bm, s = choose_block(capacity, cin)
+    if capacity < s or capacity < bm:
+        return None
+    return native.chunk_prep(chunk, capacity, bm=bm, s=s)
 
 
 def _flatten_coords(voxel_coords, sparse_shape):
@@ -181,10 +195,7 @@ def build_rulebooks(plan, voxel_coords, sparse_shape):
                 # chunked anchor+code books feed the engine's chunk cache
                 # directly (3x less host work + transfer than (N, 27))
                 chunk = native.subm_chunk_rulebook(coords, spatial, k, dil)
-                # one-hot-kernel prep only where the convs route to the
-                # kernel (cin >= 64, see pallas_conv.gather_conv_chunked_fast)
-                prep = native.chunk_prep(chunk, coords.shape[0]) \
-                    if cin >= 64 else None
+                prep = _prep_or_none(native, chunk, coords.shape[0], cin)
                 for kk in ikeys:
                     ck = subm_cache_key(kk, spatial, k, dil)
                     out["chunk|" + ck] = chunk
@@ -203,9 +214,9 @@ def build_rulebooks(plan, voxel_coords, sparse_shape):
                 ck = down_cache_key(spatial, k, s, p, cap_param)
                 # stored len-2: out_spatial is static math device-side
                 out["chunkdown|" + ck] = (oc, chunk)
-                if cin >= 64:
-                    out["prep|" + ck] = native.chunk_prep(
-                        chunk, coords.shape[0])
+                prep = _prep_or_none(native, chunk, coords.shape[0], cin)
+                if prep is not None:
+                    out["prep|" + ck] = prep
             else:
                 oc, gather, out_spatial = native.downsample_rulebook(
                     coords, spatial, k, s, p, cap)
@@ -256,9 +267,8 @@ def build_for_backbone(backbone_name, model_cfg, grid_size, voxel_coords,
     ns = [n, cap_list[0], cap_list[1], cap_list[2]]
     chans = [16, 32, 64, 128]
     for stage in range(4):
-        # one-hot-kernel prep only for kernel-routed widths (cin >= 64)
-        prep = native.chunk_prep(books["subm"][stage], ns[stage]) \
-            if chans[stage] >= 64 else None
+        prep = _prep_or_none(native, books["subm"][stage], ns[stage],
+                             chans[stage])
         for kk in [ikeys[stage]] + (_RES_KEYS.get(ikeys[stage], [])
                                     if res else []):
             ck = subm_cache_key(kk, spatial, 3, 1)
@@ -270,8 +280,9 @@ def build_for_backbone(backbone_name, model_cfg, grid_size, voxel_coords,
         oc, chunk = books["down"][stage]
         dk = down_cache_key(spatial, 3, 2, pads[stage], cap_list[stage])
         out["chunkdown|" + dk] = (oc, chunk)
-        if chans[stage] >= 64:
-            out["prep|" + dk] = native.chunk_prep(chunk, ns[stage])
+        dprep = _prep_or_none(native, chunk, ns[stage], chans[stage])
+        if dprep is not None:
+            out["prep|" + dk] = dprep
         spatial = down_out_spatial(spatial, 3, 2, pads[stage])
     return out
 

@@ -206,16 +206,18 @@ def _is_host_key(rulebook_cache, key):
     return key in rulebook_cache.get("__host_keys__", ())
 
 
-def _get_chunk_prep(chunk, capacity, rulebook_cache, key):
+def _get_chunk_prep(chunk, capacity, cin, rulebook_cache, key):
     """Cached pallas_conv.prepare_chunk for a rulebook (anchors/codes/
     span starts are pure functions of the chunk table).  Returns None when
     the one-hot kernel cannot apply, letting the wrapper fall back without
-    computing spans."""
-    if not pallas_conv.onehot_conv_available(capacity, 0):
+    computing spans.  (bm, s) follow ``pallas_conv.choose_block`` — the same
+    policy the host planner uses when it pre-builds preps in C++."""
+    bm, s = pallas_conv.choose_block(capacity, cin)
+    if not pallas_conv.onehot_conv_available(capacity, 0, s, bm):
         return None
     prep = rulebook_cache.get(key) if rulebook_cache is not None else None
     if prep is None:
-        prep = pallas_conv.prepare_chunk(chunk, capacity)
+        prep = pallas_conv.prepare_chunk(chunk, capacity, bm, s)
         if rulebook_cache is not None:
             rulebook_cache[key] = prep
     return prep
@@ -271,7 +273,8 @@ class _SubMConv(_SparseConvBase):
                                                  st.feat_scale)
         if chunk is not None:
             host_books = _is_host_key(rulebook_cache, "chunk|" + cache_key)
-            prep = _get_chunk_prep(chunk, st.capacity, rulebook_cache,
+            prep = _get_chunk_prep(chunk, st.capacity, st.num_channels,
+                                   rulebook_cache,
                                    "prep|" + cache_key) if host_books else None
             out = pallas_conv.gather_conv_chunked_fast(
                 feats, st.keys(), st.indices[:, -1],
@@ -345,7 +348,8 @@ class _SparseConv(_SparseConvBase):
         if chunk is not None:
             host_books = _is_host_key(rulebook_cache,
                                       "chunkdown|" + cache_key)
-            prep = _get_chunk_prep(chunk, st.capacity, rulebook_cache,
+            prep = _get_chunk_prep(chunk, st.capacity, st.num_channels,
+                                   rulebook_cache,
                                    "prep|" + cache_key) if host_books else None
             out = pallas_conv.gather_conv_chunked_fast(
                 feats, st.keys(), st.indices[:, -1],

@@ -47,6 +47,18 @@ DEFAULT_BM = 128          # output sites per block
 DEFAULT_S = 256           # span rows per (block, offset) — must be mult of Q
 
 
+def choose_block(capacity, cin):
+    """(bm, s) policy per conv shape, from v5e sweeps
+    (tools/profile_conv_paths.py, 2026-08: bm256/s512 beats bm128/s256 at
+    every backbone stage — the kernel is per-(block, group)-iteration
+    overhead-bound at narrow widths, so fewer, bigger blocks win — while
+    bm512/s1024 loses to the S-side compare+matmul growth)."""
+    del cin
+    if capacity >= 512:
+        return 256, 512
+    return DEFAULT_BM, DEFAULT_S
+
+
 def _kernel_v2(ss_ref, anchor_ref, code_ref, f3_hbm, w_ref, out_ref, *,
                bm, s, gk, w_ch, c_ch, acc_dtype):
     """One grid step per output block; the kernel loops over the G kernel-
@@ -315,7 +327,7 @@ def onehot_conv_available(capacity, w_ch, s=DEFAULT_S, bm=DEFAULT_BM):
 def gather_conv_chunked_fast(features, keys, xcol, nx, chunk_idx, weight,
                              out_valid=None, out_scale=None,
                              preferred_dtype=jnp.float32, gemm_transform=None,
-                             bm=DEFAULT_BM, s=DEFAULT_S, interpret=None,
+                             bm=None, s=None, interpret=None,
                              prep=None, force_kernel=False,
                              allow_kernel=True):
     """Drop-in accelerated ``engine.gather_conv_chunked``: one-hot span
@@ -333,16 +345,17 @@ def gather_conv_chunked_fast(features, keys, xcol, nx, chunk_idx, weight,
     n, cin = features.shape
     m, gk = chunk_idx.shape
     kk, _, cout = weight.shape
-    # measured v5e routing (tools/profile_conv_paths.py): ISOLATED, the
-    # one-hot kernel beats the row gather at every width, but CHAINED
-    # (convs back-to-back, the model case) the gather path wins at narrow
-    # widths — stage1 C=16: gather 5.15 ms vs kernel 6.66 ms per 5-conv
-    # chain; C=32: 6.06 vs 6.44 — while at C >= 64 the kernel stays ~2x
-    # faster (1.07 vs 2.90 at C=64).  So only wide convs route to it.
-    # the kernel also requires HOST-built rulebooks (allow_kernel): with
-    # device-built books the XLA scheduling of the prep + scalar-prefetch
-    # chain regresses badly (measured 2x on v5e), and the gather path wins
-    wide_enough = (cin >= 64 and allow_kernel) or force_kernel
+    if bm is None or s is None:
+        bm, s = choose_block(n, cin)
+    # measured v5e routing (tools/profile_conv_paths.py, bm256/s512): the
+    # one-hot kernel beats the row gather at EVERY backbone stage and both
+    # dtypes (C=16: 0.89 vs 1.87 bf16, 0.83 vs 1.33 int8; C=128: 0.68 vs
+    # 2.24 bf16, 0.37 vs 1.36 int8), so all chunkable convs with cin >= 16
+    # route to it.  The kernel requires HOST-built rulebooks (allow_kernel):
+    # with device-built books the XLA scheduling of the prep +
+    # scalar-prefetch chain regresses badly (measured 2x on v5e), and the
+    # gather path wins
+    wide_enough = (cin >= 16 and allow_kernel) or force_kernel
     if not (wide_enough and onehot_conv_available(n, 3 * cin, s, bm)):
         return engine.gather_conv_chunked(
             features, keys, xcol, nx, chunk_idx, weight, out_valid=out_valid,
