@@ -29,7 +29,7 @@ def _prep_or_none(native, chunk, capacity, cin):
     bm, s = choose_block(capacity, cin)
     if capacity < s or capacity < bm:
         return None
-    return native.chunk_prep(chunk, capacity, bm=bm, s=s)
+    return native.chunk_prep_spans(chunk, capacity, bm=bm, s=s)
 
 
 def _flatten_coords(voxel_coords, sparse_shape):

@@ -216,6 +216,11 @@ def _get_chunk_prep(chunk, capacity, cin, rulebook_cache, key):
     if not pallas_conv.onehot_conv_available(capacity, 0, s, bm):
         return None
     prep = rulebook_cache.get(key) if rulebook_cache is not None else None
+    if prep is not None and len(prep) == 2:
+        # host shipped the reduced (span_q, ovf) form: derive anchor/code
+        # from the chunk table on device, once per rulebook per forward
+        prep = pallas_conv.complete_prep(chunk, capacity, prep, bm)
+        rulebook_cache[key] = prep
     if prep is None:
         prep = pallas_conv.prepare_chunk(chunk, capacity, bm, s)
         if rulebook_cache is not None:

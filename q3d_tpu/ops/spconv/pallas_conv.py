@@ -414,3 +414,15 @@ def prepare_chunk(chunk_idx, capacity, bm=DEFAULT_BM, s=DEFAULT_S, cap=None):
     ovf = overflow_entries(anchor, code, covered,
                            cap or overflow_cap(chunk_idx.shape[0]))
     return anchor, code, span_q, ovf, ovf[-1]
+
+
+def complete_prep(chunk_idx, capacity, reduced, bm):
+    """Expand a host-reduced prep (``native.chunk_prep_spans``: span_q + the
+    overflow COO) into the full prepare_chunk tuple by deriving anchor/code
+    from the chunk table on device — two compares + a multiply-subtract,
+    so the host needn't ship 2x the chunk's bytes."""
+    span_q, ovf = reduced
+    anchor, code = split_chunk_table(chunk_idx, capacity)
+    anchor = _pad_rows(anchor, bm, fill=-1)
+    code = _pad_rows(code, bm, fill=0)
+    return anchor, code, span_q, ovf, ovf[-1]

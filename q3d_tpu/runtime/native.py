@@ -83,6 +83,10 @@ def _load():
     lib.chunk_prep.argtypes = [
         i32p, ctypes.c_int64, ctypes.c_int, ctypes.c_int64, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int64] + [i32p] * 7
+    lib.chunk_prep2.restype = ctypes.c_int
+    lib.chunk_prep2.argtypes = [
+        i32p, ctypes.c_int64, ctypes.c_int, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int64] + [i32p] * 5
     return lib
 
 
@@ -265,6 +269,32 @@ def chunk_prep(chunk, capacity, bm=128, s=256, q=32, cap=None):
                       _i32(midx), _i32(ga), _i32(gcode), _i32(gslot))
     okb = np.bool_(ok == 1)
     return anchor, code, span_q, (midx, ga, gcode, gslot, okb), okb
+
+
+def chunk_prep_spans(chunk, capacity, bm=128, s=256, q=32, cap=None):
+    """Reduced one-hot-kernel prep: span starts + overflow COO only (the
+    device derives anchor/code from the chunk table itself, see
+    ``pallas_conv.complete_prep``).  Returns (span_q (3, NB, G) int32,
+    (midx, ga, gcode, gslot, ok)) — bit-equal to the matching slices of
+    ``chunk_prep``/``pallas_conv.prepare_chunk``."""
+    l = _load()
+    assert l is not None
+    chunk = np.ascontiguousarray(chunk, np.int32)
+    m, g = chunk.shape
+    if cap is None:
+        cap = max(1024, m // 16)
+    mpad = ((m + bm - 1) // bm) * bm
+    nb = mpad // bm
+    span_q = np.empty((3, nb, g), np.int32)
+    midx = np.empty(cap, np.int32)
+    ga = np.empty(cap, np.int32)
+    gcode = np.empty(cap, np.int32)
+    gslot = np.empty(cap, np.int32)
+    ok = l.chunk_prep2(_i32(chunk), m, g, int(capacity), bm, s, q, cap,
+                       _i32(span_q), _i32(midx), _i32(ga), _i32(gcode),
+                       _i32(gslot))
+    okb = np.bool_(ok == 1)
+    return span_q, (midx, ga, gcode, gslot, okb)
 
 
 def build_voxel_backbone_books(voxel_coords, sparse_shape, caps):

@@ -971,6 +971,117 @@ extern "C" int chunk_prep(const int32_t* chunk, int64_t m, int g,
 }
 
 // ---------------------------------------------------------------------------
+// chunk_prep2: spans + overflow ONLY.  anchor/code are two compares away
+// from the chunk table, so the device derives them itself
+// (pallas_conv.split_chunk_table) — shipping them from the host cost 2x the
+// chunk's bytes in writes + H2D transfer and dominated chunk_prep's time.
+// Per 256-row block the anchors are transposed into per-group contiguous
+// lanes so the min/max and coverage sweeps auto-vectorize; the r-major
+// overflow rescan (order must match prepare_chunk's row-major COO) runs
+// only for the rare blocks that overflow at all.
+// ---------------------------------------------------------------------------
+template <int GT>
+static int chunk_prep2_impl(const int32_t* chunk, int64_t m, int g_rt,
+                            int64_t capacity, int bm, int s, int q,
+                            int64_t cap, int32_t* span_q, int32_t* midx,
+                            int32_t* ga, int32_t* gcode, int32_t* gslot) {
+    const int g = GT ? GT : g_rt;
+    const int64_t mpad = ((m + bm - 1) / bm) * bm;
+    const int64_t nb = mpad / bm;
+    const int32_t big = 1 << 30;
+    const int64_t npad_q = (capacity + q - 1) / q;
+    const int64_t hi = npad_q - s / q > 0 ? npad_q - s / q : 0;
+    int32_t* sa_out = span_q;                 // (nb, g)
+    int32_t* sb_out = span_q + nb * g;
+    int32_t* ub_out = span_q + 2 * nb * g;
+    const int32_t cap32 = (int32_t)capacity;
+    int64_t ovf_count = 0;
+    std::vector<int32_t> ta((size_t)g * bm);  // block anchors, (g, bm)
+    for (int64_t i = 0; i < nb; ++i) {
+        const int64_t rows = i * bm + bm <= m ? bm
+            : (m - i * bm > 0 ? m - i * bm : 0);
+        const int32_t* crow = chunk + i * bm * g;
+        for (int64_t r = 0; r < rows; ++r)
+            for (int jg = 0; jg < g; ++jg) {
+                const int32_t v = crow[r * g + jg];
+                const int32_t c = (v >= cap32) + (v >= 2 * cap32);
+                ta[(size_t)jg * bm + r] = v >= 3 * cap32 ? -1 : v - c * cap32;
+            }
+        for (int64_t r = rows; r < bm; ++r)
+            for (int jg = 0; jg < g; ++jg)
+                ta[(size_t)jg * bm + r] = -1;
+        bool block_ovf = false;
+        for (int jg = 0; jg < g; ++jg) {
+            const int32_t* A = &ta[(size_t)jg * bm];
+            int32_t mn = big, mx = -1;
+            for (int r = 0; r < bm; ++r) {          // auto-vec reductions
+                const int32_t a = A[r];
+                const int32_t am = a >= 0 ? a : big;
+                mn = am < mn ? am : mn;
+                mx = a > mx ? a : mx;
+            }
+            int64_t sa = mn == big ? 0 : mn / q;
+            sa = sa < 0 ? 0 : (sa > hi ? hi : sa);
+            const int64_t sb_num = (int64_t)mx + 1 - s + q - 1;
+            int64_t sb = mx < 0 ? 0 : (sb_num >= 0 ? sb_num / q : 0);
+            sb = sb < 0 ? 0 : (sb > hi ? hi : sb);
+            sa_out[i * g + jg] = (int32_t)sa;
+            sb_out[i * g + jg] = (int32_t)sb;
+            const int32_t a0 = (int32_t)(sa * q), b0 = (int32_t)(sb * q);
+            int32_t ub = 0, ovf = 0;
+            for (int r = 0; r < bm; ++r) {          // auto-vec or-reduce
+                const int32_t a = A[r];
+                const int32_t in_a = (a >= a0) & (a < a0 + s);
+                const int32_t in_b = (a >= b0) & (a < b0 + s);
+                const int32_t live = a >= 0;
+                ub |= live & in_b & (in_a ^ 1);
+                ovf |= live & (in_a ^ 1) & (in_b ^ 1);
+            }
+            ub_out[i * g + jg] = ub ? 1 : 0;
+            block_ovf |= ovf != 0;
+        }
+        if (block_ovf) {
+            // r-major rescan: COO order matches the row-major reference
+            for (int64_t r = 0; r < rows; ++r)
+                for (int jg = 0; jg < g; ++jg) {
+                    const int32_t a = ta[(size_t)jg * bm + r];
+                    if (a < 0) continue;
+                    const int32_t a0 = sa_out[i * g + jg] * q;
+                    const int32_t b0 = sb_out[i * g + jg] * q;
+                    if (a >= a0 && a < a0 + s) continue;
+                    if (a >= b0 && a < b0 + s) continue;
+                    if (ovf_count < cap) {
+                        const int32_t v = crow[r * g + jg];
+                        midx[ovf_count] = (int32_t)(i * bm + r);
+                        ga[ovf_count] = a;
+                        gcode[ovf_count] = (v >= cap32) + (v >= 2 * cap32);
+                        gslot[ovf_count] = jg;
+                    }
+                    ++ovf_count;
+                }
+        }
+    }
+    for (int64_t jj = ovf_count < cap ? ovf_count : cap; jj < cap; ++jj) {
+        midx[jj] = -1; ga[jj] = -1; gcode[jj] = 0; gslot[jj] = 0;
+    }
+    return ovf_count <= cap ? 1 : 0;
+}
+
+extern "C" int chunk_prep2(const int32_t* chunk, int64_t m, int g,
+                           int64_t capacity, int bm, int s, int q,
+                           int64_t cap, int32_t* span_q, int32_t* midx,
+                           int32_t* ga, int32_t* gcode, int32_t* gslot) {
+    if (g == 9)
+        return chunk_prep2_impl<9>(chunk, m, g, capacity, bm, s, q, cap,
+                                   span_q, midx, ga, gcode, gslot);
+    if (g == 1)
+        return chunk_prep2_impl<1>(chunk, m, g, capacity, bm, s, q, cap,
+                                   span_q, midx, ga, gcode, gslot);
+    return chunk_prep2_impl<0>(chunk, m, g, capacity, bm, s, q, cap,
+                               span_q, midx, ga, gcode, gslot);
+}
+
+// ---------------------------------------------------------------------------
 // v5: whole-plan executor for the VoxelBackBone8x/VoxelResBackBone8x
 // topology — one ctypes crossing, one row table per stage shared by the
 // stage's subm book and the following downsample.

@@ -121,3 +121,15 @@ def test_chunk_prep_matches_pallas_prepare():
         if bool(ref[4]):          # overflow list only pinned when it fits
             for a, b in zip(ref[3][:4], got[3][:4]):
                 np.testing.assert_array_equal(np.asarray(a), b)
+
+        # reduced spans-only form + device completion == full prep
+        red = native.chunk_prep_spans(chunk, cap_rows)
+        comp = pallas_conv.complete_prep(jnp.asarray(chunk), cap_rows, red,
+                                         bm=pallas_conv.DEFAULT_BM)
+        np.testing.assert_array_equal(np.asarray(comp[0]), got[0])
+        np.testing.assert_array_equal(np.asarray(comp[1]), got[1])
+        np.testing.assert_array_equal(np.asarray(comp[2]), got[2])
+        assert bool(comp[4]) == bool(got[4])
+        if bool(got[4]):
+            for a, b in zip(comp[3][:4], got[3][:4]):
+                np.testing.assert_array_equal(np.asarray(a), b)
