@@ -107,6 +107,14 @@ class SparseBasicBlock(nn.Module):
         return st.replace_feature(jnp.maximum(st.features + identity, 0.0))
 
 
+# narrow VFE outputs (4-5 channels: mean xyz+intensity) are zero-padded to
+# this many lanes so conv_input clears the one-hot kernel's cin >= 16
+# routing gate (pallas_conv.gather_conv_chunked_fast) — the pad lanes are
+# always zero, so the extra weight rows change nothing numerically (the
+# checkpoint importer zero-pads reference (K, 4, O) weights to match)
+MIN_INPUT_LANES = 16
+
+
 def _make_input_tensor(batch_dict, sparse_shape):
     feats = batch_dict["voxel_features"]          # (B, V, C)
     coords = batch_dict["voxel_coords"]           # (B, V, 3) [z, y, x]
@@ -114,7 +122,10 @@ def _make_input_tensor(batch_dict, sparse_shape):
     b_col = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None, None], (B, V, 1))
     b_col = jnp.where(coords[..., :1] >= 0, b_col, -1)
     indices = jnp.concatenate([b_col, coords], axis=-1).reshape(B * V, 4)
-    return SparseConvTensor(features=feats.reshape(B * V, C),
+    flat = feats.reshape(B * V, C)
+    if C < MIN_INPUT_LANES:
+        flat = jnp.pad(flat, ((0, 0), (0, MIN_INPUT_LANES - C)))
+    return SparseConvTensor(features=flat,
                             indices=indices.astype(jnp.int32),
                             spatial_shape=tuple(int(s) for s in sparse_shape),
                             batch_size=B).sort_rows()

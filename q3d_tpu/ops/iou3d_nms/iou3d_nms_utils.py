@@ -173,13 +173,23 @@ def _greedy_suppress_wavefront(iou, valid, thresh):
         decided, _ = state
         return ~decided.all()
 
-    def body(state):
+    def step(state):
         decided, keep = state
         # i is ready when every potential suppressor j<i is decided
         ready = ~decided & ~(over & ~decided[None, :].T).any(0)
         suppressed = (over & (keep & decided)[:, None]).any(0)
         keep = keep | (ready & valid & ~suppressed)
         return decided | ready, keep
+
+    def body(state):
+        # several wavefront levels per while iteration: the level count on
+        # real detections is single digits, and each while-loop trip costs
+        # far more than the two (K, K) masked reductions of a step, so
+        # batching steps (extra steps are idempotent no-ops once converged)
+        # cuts the trip count to 2-3
+        for _ in range(4):
+            state = step(state)
+        return state
 
     _, keep = jax.lax.while_loop(cond, body, init)
     return keep
@@ -208,12 +218,15 @@ def _nms_impl(boxes, scores, score_valid, thresh, pre_maxsize, post_maxsize, nor
     else:
         iou = boxes_iou_bev(top_boxes, top_boxes)
     keep = _greedy_suppress(iou, top_valid, thresh)
-    # select up to post_maxsize kept indices, score-ordered (rows already are)
-    kept_scores = jnp.where(keep, top_scores, neg_inf)
+    # select up to post_maxsize kept indices.  Rows are already score-
+    # ordered, so a stable cumsum compaction replaces the final top_k sort
     P = min(post_maxsize, K)
-    sel_scores, sel_pos = jax.lax.top_k(kept_scores, P)
-    sel_idx = order[sel_pos]
-    sel_valid = sel_scores > neg_inf / 2
+    kpos = jnp.cumsum(keep) - 1
+    slot = jnp.where(keep & (kpos < P), kpos, P)
+    sel_pos = jnp.full(P + 1, K, jnp.int32).at[slot].set(
+        jnp.arange(K, dtype=jnp.int32))[:P]
+    sel_valid = sel_pos < K
+    sel_idx = jnp.take(order, sel_pos, mode="fill", fill_value=0)
     return sel_idx, sel_valid
 
 

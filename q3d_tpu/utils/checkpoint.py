@@ -139,6 +139,21 @@ def adapt_torch_tensor(t, target_shape):
         cand = a.reshape(a.shape[0], K, a.shape[3]).transpose(1, 2, 0)
         if cand.shape == ts:
             return cand
+    if a.ndim == 5 and len(ts) == 3:
+        # input-lane-padded sparse conv (spconv_backbone.MIN_INPUT_LANES):
+        # reference weights with I < target lanes -> zero-pad input rows
+        if ts[1] > a.shape[4]:                   # spconv2 (O, k, k, k, I)
+            K = a.shape[1] * a.shape[2] * a.shape[3]
+            cand = a.reshape(a.shape[0], K, a.shape[4]).transpose(1, 2, 0)
+            if cand.shape[0] == ts[0] and cand.shape[2] == ts[2]:
+                return np.pad(cand,
+                              ((0, 0), (0, ts[1] - cand.shape[1]), (0, 0)))
+        if ts[1] > a.shape[3]:                   # spconv1 (k, k, k, I, O)
+            K = a.shape[0] * a.shape[1] * a.shape[2]
+            cand = a.reshape(K, a.shape[3], a.shape[4])
+            if cand.shape[0] == ts[0] and cand.shape[2] == ts[2]:
+                return np.pad(cand,
+                              ((0, 0), (0, ts[1] - cand.shape[1]), (0, 0)))
     raise ValueError(f"cannot adapt torch tensor {a.shape} -> {ts}")
 
 
