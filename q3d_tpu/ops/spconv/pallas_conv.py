@@ -147,10 +147,15 @@ def _kernel_v2(ss_ref, anchor_ref, code_ref, f3_hbm, w_ref, out_ref, *,
 
 
 def _kernel_v3(ss_ref, anchor_ref, code_ref, f3_ref, w_ref, out_ref, *,
-               bm, s, gk, w_ch, c_ch, acc_dtype):
+               bm, s, gk, w_ch, c_ch, acc_dtype, uncond_b):
     """VMEM-resident variant: the whole window matrix lives in VMEM, so a
     span is a direct aligned dynamic-slice read — no DMA machinery, no
-    latency to hide.  Preferred whenever f3 fits (always for int8)."""
+    latency to hide.  Preferred whenever f3 fits (always for int8).
+
+    uncond_b: compute the span-B contribution unconditionally (masked
+    one-hot) instead of behind a lax.cond — trades a second matmul on every
+    group for branch-free straight-line code the Mosaic pipeline can
+    software-pipeline."""
     i = pl.program_id(0)
     iota = jax.lax.broadcasted_iota(jnp.int32, (bm, s), 1)
     acc = None
@@ -163,17 +168,27 @@ def _kernel_v3(ss_ref, anchor_ref, code_ref, f3_ref, w_ref, out_ref, *,
         in_a = (ila >= 0) & (ila < s)
         oha = (iota == ila[:, None]).astype(span_a.dtype)
         rows = jnp.dot(oha, span_a, preferred_element_type=acc_dtype)
-        use_b = ss_ref[2, i, g] == 1
 
-        def with_b():
+        if uncond_b:
             s0b = ss_ref[1, i, g] * Q
             span_b = f3_ref[pl.ds(s0b, s), :]
-            ilb = jnp.where(in_a, -1, a - s0b)
+            live_b = (ss_ref[2, i, g] == 1) & ~in_a
+            ilb = jnp.where(live_b, a - s0b, -1)
             ohb = (iota == ilb[:, None]).astype(span_b.dtype)
-            return rows + jnp.dot(ohb, span_b,
-                                  preferred_element_type=acc_dtype)
+            rows2 = rows + jnp.dot(ohb, span_b,
+                                   preferred_element_type=acc_dtype)
+        else:
+            use_b = ss_ref[2, i, g] == 1
 
-        rows2 = jax.lax.cond(use_b, with_b, lambda: rows)
+            def with_b():
+                s0b = ss_ref[1, i, g] * Q
+                span_b = f3_ref[pl.ds(s0b, s), :]
+                ilb = jnp.where(in_a, -1, a - s0b)
+                ohb = (iota == ilb[:, None]).astype(span_b.dtype)
+                return rows + jnp.dot(ohb, span_b,
+                                      preferred_element_type=acc_dtype)
+
+            rows2 = jax.lax.cond(use_b, with_b, lambda: rows)
         rows2 = rows2.astype(f3_ref.dtype)       # exact: selected values
         z = jnp.zeros((bm, c_ch), f3_ref.dtype)
         r1 = jnp.concatenate([z, rows2[:, :w_ch - c_ch]], axis=-1)
@@ -188,6 +203,10 @@ def _kernel_v3(ss_ref, anchor_ref, code_ref, f3_ref, w_ref, out_ref, *,
 # f3 sizes up to this many bytes take the VMEM-direct kernel (v3); larger
 # ones stream spans by DMA (v2).  ~16 MB VMEM minus out/weight/temp room.
 VMEM_F3_LIMIT = 12 * 1024 * 1024
+
+
+# unconditional span-B in the VMEM kernel (see _kernel_v3): experiment knob
+_UNCOND_B = __import__("os").environ.get("Q3D_UNCOND_B", "0") == "1"
 
 
 @functools.partial(jax.jit,
@@ -214,9 +233,13 @@ def _onehot_conv_call(f3, anchor, code, span_q, weight, bm, s, cin,
         ],
         out_specs=pl.BlockSpec((bm, cout), lambda i, ss: (i, 0)),
     )
-    kern = functools.partial(_kernel_v3 if use_vmem else _kernel_v2,
-                             bm=bm, s=s, gk=gk, w_ch=w_ch,
-                             c_ch=cin, acc_dtype=acc_dtype)
+    if use_vmem:
+        kern = functools.partial(_kernel_v3, bm=bm, s=s, gk=gk, w_ch=w_ch,
+                                 c_ch=cin, acc_dtype=acc_dtype,
+                                 uncond_b=_UNCOND_B)
+    else:
+        kern = functools.partial(_kernel_v2, bm=bm, s=s, gk=gk, w_ch=w_ch,
+                                 c_ch=cin, acc_dtype=acc_dtype)
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
