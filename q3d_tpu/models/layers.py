@@ -135,23 +135,23 @@ class Conv2d(nn.Module):
             pq, s_act = TensorQuantizer(rule.act, mode="int",
                                         name="act_quant")(patches)
         else:
-            # quantize FIRST, unfold in int8: the per-tensor scale of the
-            # im2col view equals the input's (patches are a re-indexing of x
-            # plus zero padding), and int8 shifted-slice unfolding halves
-            # the HBM traffic of materializing bf16/f32 patches
+            # quantize FIRST, then run XLA's NATIVE int8 conv (s8 x s8 -> s32
+            # on the MXU).  The im2col patch tensor is kh*kw more HBM traffic;
+            # at bench BEV shapes the two are within noise of each other
+            # (tools/profile_int8_conv.py), but the native conv scales better
+            # with batch and avoids materializing the patch view entirely.
             pq_x, s_act = TensorQuantizer(rule.act, mode="int",
                                           name="act_quant")(x)
-            B, H, W, _ = x.shape
-            ph, pw = pads
-            sh, sw = strides
-            Ho = (H + 2 * ph - kh) // sh + 1
-            Wo = (W + 2 * pw - kw) // sw + 1
-            xp = jnp.pad(pq_x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
-            cols = [xp[:, i:i + (Ho - 1) * sh + 1:sh,
-                       j:j + (Wo - 1) * sw + 1:sw, :]
-                    for i in range(kh) for j in range(kw)]
-            pq = jnp.concatenate(cols, axis=-1)       # (B,Ho,Wo,kh*kw*cin)
-            w2d = kernel.reshape(kh * kw * cin, cout)
+            wspec = dataclasses.replace(
+                rule.weight, axis=3 if rule.weight.axis is not None else None)
+            wq, s_w = TensorQuantizer(wspec, mode="int",
+                                      name="weight_quant")(kernel)
+            out = jax.lax.conv_general_dilated(
+                pq_x, wq, strides, [(pads[0], pads[0]), (pads[1], pads[1])],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            out = out.astype(jnp.float32) * (s_act * s_w.reshape(-1))
+            return out.astype(x.dtype)
         wspec = dataclasses.replace(
             rule.weight, axis=1 if rule.weight.axis is not None else None)
         wq, s_w = TensorQuantizer(wspec, mode="int", name="weight_quant")(w2d)
