@@ -15,7 +15,7 @@ The checkpoint importer transposes torch OIHW/OI weights on load.
 """
 
 import dataclasses
-from typing import Any, Optional, Sequence, Tuple, Union
+from typing import Any, NamedTuple, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
 import jax
@@ -43,6 +43,58 @@ def _lookup_rule(module: nn.Module, kind: str):
     return rules.lookup(_dotted_path(module), kind)
 
 
+class QTensor(NamedTuple):
+    """Dense int8-residency carrier: ``data`` (int8) with its dequantization
+    ``scale`` (f32, broadcastable; ``data * scale`` is the real value).  The
+    dense analogue of ``SparseConvTensor.feat_scale`` — lets BEV-pyramid
+    blocks keep features int8 between convs, halving inter-layer HBM traffic
+    and skipping the per-layer requantize pass."""
+    data: jnp.ndarray
+    scale: jnp.ndarray
+
+
+def dequantize(x, dtype=jnp.bfloat16):
+    """Exit a dense int8-residency chain: real-valued tensor again."""
+    if isinstance(x, QTensor):
+        return (x.data.astype(jnp.float32) * x.scale).astype(dtype)
+    return x
+
+
+def residency_rule(block: nn.Module, conv_name: str):
+    """The active dense int8-residency rule for a Conv2d child of ``block``
+    (same dotted-path lookup the conv itself will do), or None.  Blocks use
+    this to fold BN/ReLU/requant into the conv epilogue and emit int8
+    (deploy path; requires eval + static act scales; SmoothQuant rules are
+    excluded — their per-column scaling needs the fp im2col view)."""
+    rules = get_active_rules()
+    if rules is None:
+        return None
+    path = ".".join([str(p) for p in block.path] + [conv_name])
+    r = rules.lookup(path, "conv2d")
+    if (r is not None and r.deploy_int8 and r.int8_residency
+            and r.smoothquant is None):
+        return r
+    return None
+
+
+def requant_epilogue(y, k, b, act_spec, identity=None, relu=True,
+                     name="out_quant"):
+    """Shared dense residency epilogue: y = conv_out*k + b (BN eval-affine
+    fold) [+ identity] [relu] -> per-tensor int8 requant.  All elementwise —
+    XLA fuses it into the conv's output write, so the block never
+    materializes a bf16/f32 feature map.  Returns a QTensor.
+
+    Must be called from inside an ``@nn.compact`` method (declares the
+    ``name`` TensorQuantizer in the caller's scope)."""
+    y = y.astype(jnp.float32) * k + b
+    if identity is not None:
+        y = y + dequantize(identity, jnp.float32)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    q, s = TensorQuantizer(act_spec, mode="int", name=name)(y)
+    return QTensor(q, s)
+
+
 class Conv2d(nn.Module):
     """2D conv, torch-compatible hyperparams (stride/padding ints), NHWC.
 
@@ -66,7 +118,14 @@ class Conv2d(nn.Module):
         kh, kw = _pair(self.kernel_size)
         sh, sw = _pair(self.stride)
         ph, pw = _pair(self.padding)
-        cin = x.shape[-1]
+        rule = _lookup_rule(self, "conv2d")
+        if isinstance(x, QTensor) and not (
+                rule is not None and rule.deploy_int8
+                and rule.smoothquant is None):
+            # residency chain feeding an excluded / non-deploy layer:
+            # re-materialize real values first
+            x = dequantize(x)
+        cin = (x.data if isinstance(x, QTensor) else x).shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.variance_scaling(1/3, "fan_in", "uniform"),
@@ -75,7 +134,6 @@ class Conv2d(nn.Module):
                            (self.features,))
                 if self.use_bias else None)
 
-        rule = _lookup_rule(self, "conv2d")
         dn = ("NHWC", "HWIO", "NHWC")
         if rule is None:
             y = jax.lax.conv_general_dilated(
@@ -86,6 +144,12 @@ class Conv2d(nn.Module):
         elif rule.deploy_int8:
             assert self.groups == 1 and self.dilation == 1
             y = self._int8_conv(x, kernel, rule, (sh, sw), (ph, pw))
+            if isinstance(x, QTensor) or rule.int8_residency:
+                # residency deploy: hand back raw f32 so the caller block
+                # fuses BN/ReLU/requant into the conv epilogue
+                if bias is not None:
+                    y = y + bias
+                return y
         elif rule.smoothquant is not None:
             assert self.groups == 1, "SmoothQuant conv does not support groups"
             y = self._smoothquant_conv(x, kernel, rule, (sh, sw), (ph, pw))
@@ -140,8 +204,13 @@ class Conv2d(nn.Module):
             # at bench BEV shapes the two are within noise of each other
             # (tools/profile_int8_conv.py), but the native conv scales better
             # with batch and avoids materializing the patch view entirely.
-            pq_x, s_act = TensorQuantizer(rule.act, mode="int",
-                                          name="act_quant")(x)
+            if isinstance(x, QTensor):
+                # already int8 from the previous layer's residency epilogue
+                pq_x, s_act, out_dtype = x.data, x.scale, jnp.float32
+            else:
+                pq_x, s_act = TensorQuantizer(rule.act, mode="int",
+                                              name="act_quant")(x)
+                out_dtype = (jnp.float32 if rule.int8_residency else x.dtype)
             wspec = dataclasses.replace(
                 rule.weight, axis=3 if rule.weight.axis is not None else None)
             wq, s_w = TensorQuantizer(wspec, mode="int",
@@ -151,7 +220,7 @@ class Conv2d(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.int32)
             out = out.astype(jnp.float32) * (s_act * s_w.reshape(-1))
-            return out.astype(x.dtype)
+            return out.astype(out_dtype)
         wspec = dataclasses.replace(
             rule.weight, axis=1 if rule.weight.axis is not None else None)
         wq, s_w = TensorQuantizer(wspec, mode="int", name="weight_quant")(w2d)
@@ -383,15 +452,28 @@ class BatchNorm(nn.Module):
     epsilon: float = 1e-3
     momentum: float = 0.01
     axis_name: Optional[str] = None
+    # static channel count, required only for fold mode (x=None)
+    num_channels: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x=None, train: bool = False):
+        """x=None -> FOLD mode: declare the identical params/stats and return
+        the eval-time affine constants (k, b) with y = x*k + b, so a caller
+        can fuse BN into a conv epilogue (dense int8-residency deploy path)
+        while the variable tree stays identical to the unfused graph."""
         bn = nn.BatchNorm(
             use_running_average=not train,
             momentum=1.0 - self.momentum,
             epsilon=self.epsilon,
             axis_name=self.axis_name,
             name="bn")
+        if x is None:
+            # eval BN is affine; extract (k, b) from two C-sized probes
+            c = self.num_channels
+            assert c is not None, "fold mode needs num_channels"
+            b = bn(jnp.zeros((1, c), jnp.float32))[0]
+            k = bn(jnp.ones((1, c), jnp.float32))[0] - b
+            return k, b
         return bn(x)
 
 

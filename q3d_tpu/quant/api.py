@@ -96,6 +96,7 @@ def int8_deploy_recipe(sq=False, alpha=0.5, static=False, extra_no_list=(),
         act=QuantSpec(8, axis=None, dynamic=dynamic, calibrator=calib),
         smoothquant=SmoothQuantCfg(alpha=alpha, dynamic=True) if sq else None,
         deploy_int8=True,
+        int8_residency=residency and not sq,
     )
     no_list = (
         "backbone_3d.conv_input*",
