@@ -23,13 +23,20 @@ def _prep_or_none(native, chunk, capacity, cin):
     """One-hot-kernel prep for kernel-routed widths (cin >= 16, matching
     pallas_conv.gather_conv_chunked_fast's routing), with the shared
     (bm, s) policy so host-built preps are exactly what the device kernel
-    expects."""
+    expects.  Returns (bm, s, prep) — the (bm, s) goes into the cache KEY
+    (``prep_key``), so a consumer whose policy choice differs (e.g. a plan
+    built with the wrong cin) safely misses instead of mixing span grids."""
     if cin < 16:
         return None
     bm, s = choose_block(capacity, cin)
     if capacity < s or capacity < bm:
         return None
-    return native.chunk_prep_spans(chunk, capacity, bm=bm, s=s)
+    return bm, s, native.chunk_prep_spans(chunk, capacity, bm=bm, s=s)
+
+
+def prep_key(bm, s, cache_key):
+    """Cache key of a one-hot-kernel prep: self-describing in (bm, s)."""
+    return f"prep|{bm}x{s}|{cache_key}"
 
 
 def _flatten_coords(voxel_coords, sparse_shape):
@@ -79,8 +86,9 @@ def voxelnext_plan(model_cfg):
     shared_conv books depend on the device-computed bev_sum_pool coordinate
     set and stay on the device."""
     ks = [int(k) for k in model_cfg.get("SPCONV_KERNEL_SIZES", [3, 3, 3, 3])]
-    chans = [16, 32, 64, 128, 128, 128]
-    plan = [("subm", ["subm1", "res1"], 3, 1, 16)]
+    ch = [int(c) for c in model_cfg.get("CHANNELS", [16, 32, 64, 128, 128])]
+    chans = ch + [ch[-1]] * (6 - len(ch))
+    plan = [("subm", ["subm1", "res1"], 3, 1, chans[0])]
     for i, (stage, k) in enumerate(zip(range(2, 7),
                                        [ks[0], ks[1], ks[2], ks[3], ks[3]])):
         plan.append(("down", k, 2, k // 2, None, chans[i]))
@@ -99,7 +107,7 @@ def unet_plan(caps):
     plan = [
         ("subm", ["subm1"], 3, 1, 16),
         ("down", 3, 2, 1, caps.get("x_conv2"), 16),
-        ("subm", ["subm2", "up2_m", "up2_t"], 3, 1, 64),
+        ("subm", ["subm2", "up2_m", "up2_t"], 3, 1, 32),
         ("down", 3, 2, 1, caps.get("x_conv3"), 32),
         ("subm", ["subm3", "up3_m", "up3_t"], 3, 1, 64),
         ("down", 3, 2, (0, 1, 1), caps.get("x_conv4"), 64),
@@ -178,6 +186,7 @@ def build_rulebooks(plan, voxel_coords, sparse_shape):
     from ...runtime import native
     if not native.available():
         return None
+    native.arena_reset()      # new frame: recycle reusable output buffers
     spatial = tuple(int(s) for s in sparse_shape)
     vox = np.asarray(voxel_coords)
     coords = vox.astype(np.int32) if vox.ndim == 2 \
@@ -200,7 +209,7 @@ def build_rulebooks(plan, voxel_coords, sparse_shape):
                     ck = subm_cache_key(kk, spatial, k, dil)
                     out["chunk|" + ck] = chunk
                     if prep is not None:
-                        out["prep|" + ck] = prep
+                        out[prep_key(prep[0], prep[1], ck)] = prep[2]
             else:
                 gather = native.subm_rulebook(coords, spatial, k, dil)
                 for kk in ikeys:
@@ -216,7 +225,7 @@ def build_rulebooks(plan, voxel_coords, sparse_shape):
                 out["chunkdown|" + ck] = (oc, chunk)
                 prep = _prep_or_none(native, chunk, coords.shape[0], cin)
                 if prep is not None:
-                    out["prep|" + ck] = prep
+                    out[prep_key(prep[0], prep[1], ck)] = prep[2]
             else:
                 oc, gather, out_spatial = native.downsample_rulebook(
                     coords, spatial, k, s, p, cap)
@@ -238,6 +247,7 @@ def build_for_backbone(backbone_name, model_cfg, grid_size, voxel_coords,
     from ...runtime import native
     if not native.available():
         return None
+    native.arena_reset()      # new frame: recycle reusable output buffers
     from ...models.backbones_3d.spconv_backbone import _capacity_schedule
     if backbone_name == "VoxelResBackBone8xVoxelNeXt":
         nx, ny, nz = (int(g) for g in grid_size)
@@ -274,7 +284,7 @@ def build_for_backbone(backbone_name, model_cfg, grid_size, voxel_coords,
             ck = subm_cache_key(kk, spatial, 3, 1)
             out["chunk|" + ck] = books["subm"][stage]
             if prep is not None:
-                out["prep|" + ck] = prep
+                out[prep_key(prep[0], prep[1], ck)] = prep[2]
         if stage == 3:
             break
         oc, chunk = books["down"][stage]
@@ -282,7 +292,7 @@ def build_for_backbone(backbone_name, model_cfg, grid_size, voxel_coords,
         out["chunkdown|" + dk] = (oc, chunk)
         dprep = _prep_or_none(native, chunk, ns[stage], chans[stage])
         if dprep is not None:
-            out["prep|" + dk] = dprep
+            out[prep_key(dprep[0], dprep[1], dk)] = dprep[2]
         spatial = down_out_spatial(spatial, 3, 2, pads[stage])
     return out
 

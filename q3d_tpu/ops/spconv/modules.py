@@ -206,15 +206,18 @@ def _is_host_key(rulebook_cache, key):
     return key in rulebook_cache.get("__host_keys__", ())
 
 
-def _get_chunk_prep(chunk, capacity, cin, rulebook_cache, key):
+def _get_chunk_prep(chunk, capacity, cin, rulebook_cache, cache_key):
     """Cached pallas_conv.prepare_chunk for a rulebook (anchors/codes/
     span starts are pure functions of the chunk table).  Returns None when
     the one-hot kernel cannot apply, letting the wrapper fall back without
     computing spans.  (bm, s) follow ``pallas_conv.choose_block`` — the same
-    policy the host planner uses when it pre-builds preps in C++."""
+    policy the host planner uses when it pre-builds preps in C++, and the
+    cache key embeds (bm, s) so a host prep built under a different policy
+    choice (e.g. a plan with a stale cin) is missed, not misused."""
     bm, s = pallas_conv.choose_block(capacity, cin)
     if not pallas_conv.onehot_conv_available(capacity, 0, s, bm):
         return None
+    key = f"prep|{bm}x{s}|{cache_key}"
     prep = rulebook_cache.get(key) if rulebook_cache is not None else None
     if prep is not None and len(prep) == 2:
         # host shipped the reduced (span_q, ovf) form: derive anchor/code
@@ -280,7 +283,7 @@ class _SubMConv(_SparseConvBase):
             host_books = _is_host_key(rulebook_cache, "chunk|" + cache_key)
             prep = _get_chunk_prep(chunk, st.capacity, st.num_channels,
                                    rulebook_cache,
-                                   "prep|" + cache_key) if host_books else None
+                                   cache_key) if host_books else None
             out = pallas_conv.gather_conv_chunked_fast(
                 feats, st.keys(), st.indices[:, -1],
                 int(st.spatial_shape[-1]), chunk, w,
@@ -355,7 +358,7 @@ class _SparseConv(_SparseConvBase):
                                       "chunkdown|" + cache_key)
             prep = _get_chunk_prep(chunk, st.capacity, st.num_channels,
                                    rulebook_cache,
-                                   "prep|" + cache_key) if host_books else None
+                                   cache_key) if host_books else None
             out = pallas_conv.gather_conv_chunked_fast(
                 feats, st.keys(), st.indices[:, -1],
                 int(st.spatial_shape[-1]), chunk, w,

@@ -49,11 +49,21 @@ DEFAULT_S = 256           # span rows per (block, offset) — must be mult of Q
 
 def choose_block(capacity, cin):
     """(bm, s) policy per conv shape, from v5e sweeps
-    (tools/profile_conv_paths.py, 2026-08: bm256/s512 beats bm128/s256 at
-    every backbone stage — the kernel is per-(block, group)-iteration
-    overhead-bound at narrow widths, so fewer, bigger blocks win — while
-    bm512/s1024 loses to the S-side compare+matmul growth)."""
-    del cin
+    (tools/profile_conv_paths.py, 2026-08, int8 per-conv ms at the bench
+    envelope): narrow stages are per-(block, group)-iteration overhead-bound,
+    so fewer/bigger blocks win big (C16@40k: 0.65 @512/1024 vs 0.78 @256/512;
+    C32@38k: 0.68 @512/768 vs 0.89), while wide stages prefer small spans
+    (C64@30k: 0.66 @256/512; C128@17k: 0.42 @256/384).
+
+    ONE shared policy for all dtypes: preps are built once per rulebook by
+    the single-core host planner, and a per-dtype prep set would double the
+    host build (~20 ms, already near the max(host, device) critical path).
+    The policy is tuned for the int8 deployment mode; measured bf16 times at
+    these configs are within noise of its own former configs."""
+    if cin <= 32 and capacity >= 2048:
+        return 512, (1024 if cin <= 16 else 768)
+    if cin >= 128 and capacity >= 512:
+        return 256, 384
     if capacity >= 512:
         return 256, 512
     return DEFAULT_BM, DEFAULT_S
@@ -423,8 +433,11 @@ def overflow_cap(m):
     # measured real overflow on lidar-like scenes: <100 entries at 40k rows
     # (anchors of a 128-output block span at most a couple of y/z row
     # crossings); the ok-flag falls back to the exact gather path if a
-    # frame ever exceeds this
-    return max(1024, m // 16)
+    # frame ever exceeds this.  Kept tight: apply_overflow runs G masked
+    # GEMMs over ALL cap rows every conv, so an oversized cap costs real
+    # MXU time (cap 2500 -> 312 at 40k rows saved ~0.4 ms/frame on v5e).
+    # MUST match the native twin (q3d_tpu/runtime/native.py chunk_prep*).
+    return max(256, m // 128)
 
 
 def prepare_chunk(chunk_idx, capacity, bm=DEFAULT_BM, s=DEFAULT_S, cap=None):

@@ -19,6 +19,65 @@ _LIB_PATH = Path(__file__).resolve().parent / "_native.so"
 lib = None
 
 
+# ---------------------------------------------------------------------------
+# steady-state output arena (opt-in)
+# ---------------------------------------------------------------------------
+
+class _BumpArena:
+    """Bump allocator over persistent chunks: repeated rulebook builds write
+    into warm, already-faulted pages instead of paying ~1-2 us/page of soft
+    faults on every fresh np.empty (measured ~3-5 ms/frame at the CenterPoint
+    bench envelope).  reset() recycles ALL previously handed-out arrays."""
+
+    def __init__(self):
+        self.chunks = []
+        self.idx = 0
+        self.off = 0
+
+    def reset(self):
+        self.idx = 0
+        self.off = 0
+
+    def alloc(self, shape, dtype=np.int32):
+        n = int(np.prod(shape)) * np.dtype(dtype).itemsize
+        n_al = -(-max(n, 1) // 64) * 64
+        while True:
+            if self.idx < len(self.chunks):
+                c = self.chunks[self.idx]
+                if self.off + n_al <= c.nbytes:
+                    a = c[self.off:self.off + n].view(dtype).reshape(shape)
+                    self.off += n_al
+                    return a
+                self.idx += 1
+                self.off = 0
+            else:
+                self.chunks.append(np.empty(max(32 << 20, n_al), np.uint8))
+                self.off = 0
+
+
+_ARENA = _BumpArena()
+_REUSE = False
+
+
+def enable_buffer_reuse(flag=True):
+    """Steady-state serving mode: builder outputs come from a persistent
+    arena recycled by ``arena_reset()`` (one call per frame/build).  Arrays
+    returned under reuse are INVALIDATED by the next post-reset build —
+    copy them (e.g. jax.device_put) before rebuilding.  Default off."""
+    global _REUSE
+    _REUSE = flag
+
+
+def arena_reset():
+    if _REUSE:
+        _ARENA.reset()
+
+
+def _empty(shape, dtype=np.int32):
+    return _ARENA.alloc(shape, dtype) if _REUSE else np.empty(shape, dtype)
+
+
+
 def _build():
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
            str(_SRC / "voxelizer.cpp"), str(_SRC / "rulebook.cpp"),
@@ -141,7 +200,7 @@ def subm_rulebook(coords, spatial, kernel_size, dilation=1):
         np.int32)
     sp = np.ascontiguousarray(spatial, np.int32)
     K = int(np.prod(k))
-    gather = np.empty((n, K), np.int32)
+    gather = _empty((n, K), np.int32)
     l.subm_rulebook(_i32(coords), n, nd, _i32(sp), _i32(k), _i32(dil),
                     _i32(gather))
     return gather
@@ -168,8 +227,8 @@ def downsample_rulebook(coords, spatial, kernel_size, stride, padding,
          for d in range(nd)], np.int32)
     K = int(np.prod(k))
     M = int(out_capacity)
-    out_coords = np.empty((M, 1 + nd), np.int32)
-    gather = np.empty((M, K), np.int32)
+    out_coords = _empty((M, 1 + nd), np.int32)
+    gather = _empty((M, K), np.int32)
     l.downsample_rulebook(_i32(coords), n, nd, _i32(sp), _i32(out_sp),
                           _i32(k), _i32(s), _i32(p), M, _i32(out_coords),
                           _i32(gather))
@@ -193,7 +252,7 @@ def subm_chunk_rulebook(coords, spatial, kernel_size, dilation=1):
     assert int(k[-1]) == 3 and int(dil[-1]) == 1
     sp = np.ascontiguousarray(spatial, np.int32)
     G = int(np.prod(k[:-1]))
-    gather = np.empty((n, G), np.int32)
+    gather = _empty((n, G), np.int32)
     l.subm_chunk_rulebook(_i32(coords), n, nd, _i32(sp), _i32(k), _i32(dil),
                           _i32(gather))
     return gather
@@ -221,8 +280,8 @@ def downsample_chunk_rulebook(coords, spatial, kernel_size, stride, padding,
          for d in range(nd)], np.int32)
     G = int(np.prod(k[:-1]))
     M = int(out_capacity)
-    out_coords = np.empty((M, 1 + nd), np.int32)
-    chunk = np.empty((M, G), np.int32)
+    out_coords = _empty((M, 1 + nd), np.int32)
+    chunk = _empty((M, G), np.int32)
     out_cells = int(np.prod(out_sp.astype(np.int64)))
     fn = l.downsample_chunk_rulebook2 if out_cells <= (1 << 27) \
         else l.downsample_chunk_rulebook
@@ -239,7 +298,7 @@ def flatten_sort_coords(voxel_coords, spatial):
     vox = np.ascontiguousarray(voxel_coords, np.int32)
     B, V, nd = vox.shape
     sp = np.ascontiguousarray(spatial, np.int32)
-    out = np.empty((B * V, 1 + nd), np.int32)
+    out = _empty((B * V, 1 + nd), np.int32)
     l.flatten_sort_coords(_i32(vox), B, V, nd, _i32(sp), _i32(out))
     return out
 
@@ -254,16 +313,16 @@ def chunk_prep(chunk, capacity, bm=128, s=256, q=32, cap=None):
     chunk = np.ascontiguousarray(chunk, np.int32)
     m, g = chunk.shape
     if cap is None:
-        cap = max(1024, m // 16)
+        cap = max(256, m // 128)  # must match pallas_conv.overflow_cap
     mpad = ((m + bm - 1) // bm) * bm
     nb = mpad // bm
-    anchor = np.empty((mpad, g), np.int32)
-    code = np.empty((mpad, g), np.int32)
-    span_q = np.empty((3, nb, g), np.int32)
-    midx = np.empty(cap, np.int32)
-    ga = np.empty(cap, np.int32)
-    gcode = np.empty(cap, np.int32)
-    gslot = np.empty(cap, np.int32)
+    anchor = _empty((mpad, g), np.int32)
+    code = _empty((mpad, g), np.int32)
+    span_q = _empty((3, nb, g), np.int32)
+    midx = _empty(cap, np.int32)
+    ga = _empty(cap, np.int32)
+    gcode = _empty(cap, np.int32)
+    gslot = _empty(cap, np.int32)
     ok = l.chunk_prep(_i32(chunk), m, g, int(capacity), bm, s, q, cap,
                       _i32(anchor), _i32(code), _i32(span_q),
                       _i32(midx), _i32(ga), _i32(gcode), _i32(gslot))
@@ -282,14 +341,14 @@ def chunk_prep_spans(chunk, capacity, bm=128, s=256, q=32, cap=None):
     chunk = np.ascontiguousarray(chunk, np.int32)
     m, g = chunk.shape
     if cap is None:
-        cap = max(1024, m // 16)
+        cap = max(256, m // 128)  # must match pallas_conv.overflow_cap
     mpad = ((m + bm - 1) // bm) * bm
     nb = mpad // bm
-    span_q = np.empty((3, nb, g), np.int32)
-    midx = np.empty(cap, np.int32)
-    ga = np.empty(cap, np.int32)
-    gcode = np.empty(cap, np.int32)
-    gslot = np.empty(cap, np.int32)
+    span_q = _empty((3, nb, g), np.int32)
+    midx = _empty(cap, np.int32)
+    ga = _empty(cap, np.int32)
+    gcode = _empty(cap, np.int32)
+    gslot = _empty(cap, np.int32)
     ok = l.chunk_prep2(_i32(chunk), m, g, int(capacity), bm, s, q, cap,
                        _i32(span_q), _i32(midx), _i32(ga), _i32(gcode),
                        _i32(gslot))
@@ -310,11 +369,11 @@ def build_voxel_backbone_books(voxel_coords, sparse_shape, caps):
     sp = np.ascontiguousarray(sparse_shape, np.int32)
     caps = [int(c) for c in caps]
     n = B * V
-    coords0 = np.empty((n, 4), np.int32)
+    coords0 = _empty((n, 4), np.int32)
     ns = [n, caps[0], caps[1], caps[2]]
-    subm = [np.empty((ns[i], 9), np.int32) for i in range(4)]
-    dc = [np.empty((caps[i], 4), np.int32) for i in range(3)]
-    dch = [np.empty((caps[i], 9), np.int32) for i in range(3)]
+    subm = [_empty((ns[i], 9), np.int32) for i in range(4)]
+    dc = [_empty((caps[i], 4), np.int32) for i in range(3)]
+    dch = [_empty((caps[i], 9), np.int32) for i in range(3)]
     l.build_voxel_backbone_books(
         _i32(vox), B, V, _i32(sp), _i32(np.asarray(caps, np.int32)),
         _i32(coords0),

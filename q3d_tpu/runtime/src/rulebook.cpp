@@ -79,9 +79,15 @@ static void sort_rows_soa(const int32_t* coords, int64_t n, int nd,
                   [](const Row& a, const Row& b) { return a.key < b.key; });
         for (size_t i = 0; i < R; ++i) { keys[i] = rows[i].key; idxs[i] = rows[i].idx; }
     }
-    keys.push_back(INT64_MAX);      // sentinel: never matches a window
-    idxs.push_back((int32_t)n);     // safe row for speculative loads
+    // FOUR sentinels: merge loops probe kp[b+1]/kp[b+2] speculatively (the
+    // parallel-probe advance), and a cursor parked at the first sentinel
+    // still reads two keys past it.
+    for (int sent = 0; sent < 4; ++sent) {
+        keys.push_back(INT64_MAX);  // sentinel: never matches a window
+        idxs.push_back((int32_t)n); // safe row for speculative loads
+    }
 }
+static constexpr int64_t kSentinels = 4;
 
 }  // namespace
 
@@ -263,7 +269,7 @@ int subm_chunk_rulebook(const int32_t* coords, int64_t n, int nd,
     static thread_local std::vector<int64_t> keys;
     static thread_local std::vector<int32_t> idxs;
     sort_rows_soa(coords, n, nd, spatial, keys, idxs);
-    const int64_t R = (int64_t)keys.size() - 1;   // minus sentinel
+    const int64_t R = (int64_t)keys.size() - kSentinels;
     const int32_t nx = spatial[nd - 1];
 
     // valid rows write every slot exactly once below; only pad/invalid rows
@@ -330,8 +336,9 @@ int subm_chunk_rulebook(const int32_t* coords, int64_t n, int nd,
                 const int64_t q = key_a + deltas[g] - 1;
                 const int64_t qlo = q + jlo;
                 int64_t b = cur[g];
-                b += kp[b] < qlo;
-                b += kp[b] < qlo;
+                // parallel probe: keys are sorted, so the advance is the
+                // SUM of independent compares (no dependent-load chain)
+                b += (kp[b] < qlo) + (kp[b + 1] < qlo);
                 while (kp[b] < qlo) ++b;
                 cur[g] = b;
                 const int64_t kb = kp[b];
@@ -349,8 +356,9 @@ int subm_chunk_rulebook(const int32_t* coords, int64_t n, int nd,
                 const int64_t q = key_a + deltas[g] - 1;
                 const int64_t qlo = q + jlo;
                 int64_t b = cur[g];
-                b += kp[b] < qlo;
-                b += kp[b] < qlo;
+                // parallel probe: keys are sorted, so the advance is the
+                // SUM of independent compares (no dependent-load chain)
+                b += (kp[b] < qlo) + (kp[b + 1] < qlo);
                 while (kp[b] < qlo) ++b;
                 cur[g] = b;
                 const int64_t kb = kp[b];
@@ -583,7 +591,7 @@ int downsample_chunk_rulebook2(const int32_t* coords, int64_t n, int nd,
     static thread_local std::vector<int64_t> keys;
     static thread_local std::vector<int32_t> idxs;
     sort_rows_soa(coords, n, nd, spatial, keys, idxs);
-    const int64_t R = (int64_t)keys.size() - 1;   // minus sentinel
+    const int64_t R = (int64_t)keys.size() - kSentinels;
     int32_t bmax = 0;
     for (int64_t r = 0; r < R; ++r)
         bmax = std::max(bmax, coords[(int64_t)idxs[r] * (1 + nd)]);
@@ -813,9 +821,8 @@ int downsample_chunk_rulebook2(const int32_t* coords, int64_t n, int nd,
                 const int64_t base = base0 + gdelta[g];
                 const int64_t qlo = base + jlo;
                 int64_t b = cur[g];
-                b += kp[b] < qlo;
-                b += kp[b] < qlo;
-                b += kp[b] < qlo;
+                // parallel probe (see subm): 3 independent compares
+                b += (kp[b] < qlo) + (kp[b + 1] < qlo) + (kp[b + 2] < qlo);
                 while (kp[b] < qlo) ++b;
                 cur[g] = b;
                 const int64_t kb = kp[b];
@@ -833,9 +840,8 @@ int downsample_chunk_rulebook2(const int32_t* coords, int64_t n, int nd,
                 const int64_t base = base0 + gdelta[g];
                 const int64_t qlo = base + jlo;
                 int64_t b = cur[g];
-                b += kp[b] < qlo;
-                b += kp[b] < qlo;
-                b += kp[b] < qlo;
+                // parallel probe (see subm): 3 independent compares
+                b += (kp[b] < qlo) + (kp[b + 1] < qlo) + (kp[b + 2] < qlo);
                 while (kp[b] < qlo) ++b;
                 cur[g] = b;
                 const int64_t kb = kp[b];

@@ -63,14 +63,19 @@ def test_onehot_conv_overflow_residual_exact():
     w = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32) * 0.1)
     gidx = engine.subm_gather_indices(st, 3)
     cidx = engine.chunk_anchor_code(gidx, st.capacity)
-    *_, ovf, ok = pallas_conv.prepare_chunk(cidx, st.capacity, bm=128, s=32)
+    # explicit generous cap: the tiny S routes MOST entries through the
+    # residual here, far beyond the production default (which is sized for
+    # real scenes' <100 overflow entries and guarded by the ok-fallback)
+    prep = pallas_conv.prepare_chunk(cidx, st.capacity, bm=128, s=32,
+                                     cap=4096)
+    *_, ovf, ok = prep
     assert bool(ok)              # overflow list fits -> kernel + residual
     assert int((np.asarray(ovf[0]) >= 0).sum()) > 0   # residual is exercised
     ref = np.asarray(engine.gather_conv_chunked(
         st.features, st.keys(), st.indices[:, -1], int(spatial[-1]), cidx, w))
     out = np.asarray(pallas_conv.gather_conv_chunked_fast(
         st.features, st.keys(), st.indices[:, -1], int(spatial[-1]), cidx, w,
-        bm=128, s=32, interpret=True, force_kernel=True))
+        bm=128, s=32, interpret=True, force_kernel=True, prep=prep))
     np.testing.assert_allclose(ref, out, rtol=1e-5, atol=1e-5)
 
 

@@ -30,6 +30,12 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--bm", type=int, default=128)
     ap.add_argument("--s", type=int, default=256)
+    ap.add_argument("--configs", default=None,
+                    help="comma list of bm:s pairs to sweep (one-hot kernel "
+                         "only, e.g. 256:512,512:768); overrides --bm/--s")
+    ap.add_argument("--dtypes", default="bf16,int8")
+    ap.add_argument("--no-gather", action="store_true",
+                    help="skip the plain gather-path baseline")
     args = ap.parse_args()
 
     import jax
@@ -89,7 +95,12 @@ def main():
         xcol = jnp.asarray(coords[:, -1])
         chunk = jnp.asarray(chunk_np)
         nxs = int(sp[-1])
-        for dtype, dname in ((jnp.bfloat16, "bf16"), (jnp.int8, "int8")):
+        configs = ([(int(a), int(b)) for a, b in
+                    (c.split(":") for c in args.configs.split(","))]
+                   if args.configs else [(args.bm, args.s)])
+        dtype_map = {"bf16": jnp.bfloat16, "int8": jnp.int8}
+        for dname in args.dtypes.split(","):
+            dtype = dtype_map[dname]
             if dtype == jnp.int8:
                 feats = jnp.asarray(
                     np.random.randint(-127, 127, (N, C)), jnp.int8)
@@ -108,33 +119,44 @@ def main():
                     return out.astype(jnp.float32).sum()
                 return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
-            prep = pallas_conv.prepare_chunk(chunk_np if False else chunk, N,
-                                             args.bm, args.s)
-            prep = jax.device_put(jax.tree_util.tree_map(jnp.asarray, prep))
+            if args.no_gather:
+                tg = float("nan")
+            else:
+                jg = jax.jit(gfn, static_argnames=())
+                tg = time_loop(jg, feats, st_keys, xcol, chunk, w)
+            entry = {"N": N, "C": C, "gather_ms": round(tg * 1e3, 3)}
+            for bm, s in configs:
+                if not pallas_conv.onehot_conv_available(N, 3 * C, s, bm):
+                    continue
+                prep = pallas_conv.prepare_chunk(chunk, N, bm, s)
+                prep = jax.device_put(
+                    jax.tree_util.tree_map(jnp.asarray, prep))
+                n_ovf = int(np.asarray((prep[3][0] >= 0).sum()))
+                ok = bool(np.asarray(prep[4]))
 
-            def kfn(feats, keys, xcol, chunk, w, k, _nx=nxs, _prep=prep):
-                def body(i, s):
-                    eps = (s * 1e-38).astype(jnp.int32)
-                    f = feats + eps.astype(feats.dtype)
-                    out = pallas_conv.gather_conv_chunked_fast(
-                        f, keys, xcol, _nx, chunk, w, prep=_prep,
-                        force_kernel=True, bm=args.bm, s=args.s)
-                    return out.astype(jnp.float32).sum()
-                return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+                def kfn(feats, keys, xcol, chunk, w, k, _nx=nxs,
+                        _prep=prep, _bm=bm, _s=s):
+                    def body(i, s_):
+                        eps = (s_ * 1e-38).astype(jnp.int32)
+                        f = feats + eps.astype(feats.dtype)
+                        out = pallas_conv.gather_conv_chunked_fast(
+                            f, keys, xcol, _nx, chunk, w, prep=_prep,
+                            force_kernel=True, bm=_bm, s=_s)
+                        return out.astype(jnp.float32).sum()
+                    return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
-            jg = jax.jit(gfn, static_argnames=())
-            jk = jax.jit(kfn)
-            tg = time_loop(jg, feats, st_keys, xcol, chunk, w)
-            try:
-                tk = time_loop(jk, feats, st_keys, xcol, chunk, w)
-            except Exception as e:  # noqa: BLE001
-                log(f"kernel failed stage{si+1} {dname}: {e}")
-                tk = float("nan")
-            results[f"stage{si+1}_{dname}"] = {
-                "N": N, "C": C, "gather_ms": round(tg * 1e3, 3),
-                "onehot_ms": round(tk * 1e3, 3)}
-            log(f"stage{si+1} {dname}: N={N} C={C} "
-                f"gather {tg*1e3:.3f} ms  onehot {tk*1e3:.3f} ms")
+                jk = jax.jit(kfn)
+                try:
+                    tk = time_loop(jk, feats, st_keys, xcol, chunk, w)
+                except Exception as e:  # noqa: BLE001
+                    log(f"kernel failed stage{si+1} {dname} "
+                        f"bm{bm}/s{s}: {e}")
+                    tk = float("nan")
+                entry[f"onehot_bm{bm}_s{s}_ms"] = round(tk * 1e3, 3)
+                log(f"stage{si+1} {dname}: N={N} C={C} bm{bm}/s{s} "
+                    f"onehot {tk*1e3:.3f} ms (ovf {n_ovf} ok={ok}) "
+                    f"gather {tg*1e3:.3f} ms")
+            results[f"stage{si+1}_{dname}"] = entry
 
     import json
     print(json.dumps(results))
