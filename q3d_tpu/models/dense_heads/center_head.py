@@ -249,8 +249,10 @@ class CenterHead(nn.Module):
         B = sb.shape[0] // H
 
         def nms_one(boxes, scores, labels, valid):
+            # decode rows are lax.top_k output -> already score-descending
             sel, sel_valid = model_nms_utils.class_agnostic_nms(
-                scores, boxes[:, :7], nms_cfg, box_valid=valid)
+                scores, boxes[:, :7], nms_cfg, box_valid=valid,
+                presorted=True)
             return boxes[sel], scores[sel], labels[sel], sel_valid
 
         nb, ns, nl, nv = jax.vmap(nms_one)(sb, ss, sl, sv)

@@ -19,16 +19,21 @@ _NMS_FNS = {
 
 
 def class_agnostic_nms(box_scores, box_preds, nms_config, score_thresh=None,
-                       box_valid=None):
-    """box_scores: (N,); box_preds: (N, 7). Returns (idx, valid) fixed-size."""
+                       box_valid=None, presorted=False):
+    """box_scores: (N,); box_preds: (N, 7). Returns (idx, valid) fixed-size.
+
+    presorted=True: caller guarantees descending-score order (e.g. the rows
+    come straight out of a lax.top_k decode) — skips the NMS-internal
+    reorder."""
     valid = jnp.ones(box_scores.shape, bool) if box_valid is None else box_valid
     if score_thresh is not None:
         valid = valid & (box_scores >= score_thresh)
     nms_fn = _NMS_FNS[nms_config.NMS_TYPE]
+    kw = {"presorted": True} if presorted and nms_fn is nms_bev else {}
     return nms_fn(box_preds, box_scores, thresh=float(nms_config.NMS_THRESH),
                   pre_maxsize=int(nms_config.NMS_PRE_MAXSIZE),
                   post_maxsize=int(nms_config.NMS_POST_MAXSIZE),
-                  score_valid=valid)
+                  score_valid=valid, **kw)
 
 
 def multi_classes_nms(cls_scores, box_preds, nms_config, score_thresh=None,

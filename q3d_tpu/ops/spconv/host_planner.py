@@ -28,7 +28,7 @@ def _prep_or_none(native, chunk, capacity, cin):
     built with the wrong cin) safely misses instead of mixing span grids."""
     if cin < 16:
         return None
-    bm, s = choose_block(capacity, cin)
+    bm, s, _ = choose_block(capacity, cin)   # prep independent of uncond
     if capacity < s or capacity < bm:
         return None
     return bm, s, native.chunk_prep_spans(chunk, capacity, bm=bm, s=s)

@@ -214,7 +214,7 @@ def _get_chunk_prep(chunk, capacity, cin, rulebook_cache, cache_key):
     policy the host planner uses when it pre-builds preps in C++, and the
     cache key embeds (bm, s) so a host prep built under a different policy
     choice (e.g. a plan with a stale cin) is missed, not misused."""
-    bm, s = pallas_conv.choose_block(capacity, cin)
+    bm, s, _ = pallas_conv.choose_block(capacity, cin)
     if not pallas_conv.onehot_conv_available(capacity, 0, s, bm):
         return None
     key = f"prep|{bm}x{s}|{cache_key}"

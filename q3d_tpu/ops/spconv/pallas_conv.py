@@ -55,18 +55,26 @@ def choose_block(capacity, cin):
     C32@38k: 0.68 @512/768 vs 0.89), while wide stages prefer small spans
     (C64@30k: 0.66 @256/512; C128@17k: 0.42 @256/384).
 
+    Third element: ``uncond_b`` — compute the span-B contribution on every
+    group (branch-free straight-line Mosaic code) instead of behind a
+    lax.cond.  Measured faster at the narrowest and widest stages (C16@40k:
+    0.56 @256/384-uncond vs 0.65 cond-best; C128@17k: 0.37 vs 0.42) and
+    slower in between (the extra matmul outweighs the branch there).
+
     ONE shared policy for all dtypes: preps are built once per rulebook by
     the single-core host planner, and a per-dtype prep set would double the
-    host build (~20 ms, already near the max(host, device) critical path).
+    host build (~15 ms, already near the max(host, device) critical path).
     The policy is tuned for the int8 deployment mode; measured bf16 times at
     these configs are within noise of its own former configs."""
+    if cin <= 16 and capacity >= 512:
+        return 256, 384, True
     if cin <= 32 and capacity >= 2048:
-        return 512, (1024 if cin <= 16 else 768)
+        return 512, 768, False
     if cin >= 128 and capacity >= 512:
-        return 256, 384
+        return 256, 384, True
     if capacity >= 512:
-        return 256, 512
-    return DEFAULT_BM, DEFAULT_S
+        return 256, 512, False
+    return DEFAULT_BM, DEFAULT_S, False
 
 
 def _kernel_v2(ss_ref, anchor_ref, code_ref, f3_hbm, w_ref, out_ref, *,
@@ -215,14 +223,10 @@ def _kernel_v3(ss_ref, anchor_ref, code_ref, f3_ref, w_ref, out_ref, *,
 VMEM_F3_LIMIT = 12 * 1024 * 1024
 
 
-# unconditional span-B in the VMEM kernel (see _kernel_v3): experiment knob
-_UNCOND_B = __import__("os").environ.get("Q3D_UNCOND_B", "0") == "1"
-
-
 @functools.partial(jax.jit,
-                   static_argnames=("bm", "s", "cin", "interpret"))
+                   static_argnames=("bm", "s", "cin", "interpret", "uncond"))
 def _onehot_conv_call(f3, anchor, code, span_q, weight, bm, s, cin,
-                      interpret):
+                      interpret, uncond=False):
     """f3 (Npad, Wpad); anchor/code (G, Mpad); span_q (3, NB, G) int32
     [sa_q, sb_q, use_b]; weight (G, Wpad, Cout); cin = LOGICAL input
     channels (the realignment shift) -> (Mpad, Cout) acc_dtype."""
@@ -246,7 +250,7 @@ def _onehot_conv_call(f3, anchor, code, span_q, weight, bm, s, cin,
     if use_vmem:
         kern = functools.partial(_kernel_v3, bm=bm, s=s, gk=gk, w_ch=w_ch,
                                  c_ch=cin, acc_dtype=acc_dtype,
-                                 uncond_b=_UNCOND_B)
+                                 uncond_b=uncond)
     else:
         kern = functools.partial(_kernel_v2, bm=bm, s=s, gk=gk, w_ch=w_ch,
                                  c_ch=cin, acc_dtype=acc_dtype)
@@ -360,7 +364,7 @@ def onehot_conv_available(capacity, w_ch, s=DEFAULT_S, bm=DEFAULT_BM):
 def gather_conv_chunked_fast(features, keys, xcol, nx, chunk_idx, weight,
                              out_valid=None, out_scale=None,
                              preferred_dtype=jnp.float32, gemm_transform=None,
-                             bm=None, s=None, interpret=None,
+                             bm=None, s=None, uncond=False, interpret=None,
                              prep=None, force_kernel=False,
                              allow_kernel=True):
     """Drop-in accelerated ``engine.gather_conv_chunked``: one-hot span
@@ -379,7 +383,7 @@ def gather_conv_chunked_fast(features, keys, xcol, nx, chunk_idx, weight,
     m, gk = chunk_idx.shape
     kk, _, cout = weight.shape
     if bm is None or s is None:
-        bm, s = choose_block(n, cin)
+        bm, s, uncond = choose_block(n, cin)
     # measured v5e routing (tools/profile_conv_paths.py, bm256/s512): the
     # one-hot kernel beats the row gather at EVERY backbone stage and both
     # dtypes (C=16: 0.89 vs 1.87 bf16, 0.83 vs 1.33 int8; C=128: 0.68 vs
@@ -411,7 +415,7 @@ def gather_conv_chunked_fast(features, keys, xcol, nx, chunk_idx, weight,
 
     def fast(_):
         acc = _onehot_conv_call(f3k, anchor.T, code.T, span_q, w3k, bm, s,
-                                cin, interpret)
+                                cin, interpret, uncond)
         acc = apply_overflow(acc, f3, w3, ovf, cin)[:m]
         return acc.astype(jnp.float32) if features.dtype == jnp.int8 \
             else acc.astype(features.dtype)
