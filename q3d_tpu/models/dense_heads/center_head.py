@@ -212,8 +212,8 @@ class CenterHead(nn.Module):
 
             def decode_one(hm, center, center_z, dim, rot, vel, ids=ids):
                 d = centernet_utils.decode_bbox_from_heatmap(
-                    jax.nn.sigmoid(hm), rot[..., 0:1], rot[..., 1:2],
-                    center, center_z, jnp.exp(dim),
+                    hm, rot[..., 0:1], rot[..., 1:2],
+                    center, center_z, dim,
                     self.point_cloud_range, self.voxel_size,
                     self.feature_map_stride, vel=vel,
                     K=pp.MAX_OBJ_PER_SAMPLE, score_thresh=pp.SCORE_THRESH,

@@ -70,21 +70,26 @@ def _topk(scores_flat, K):
     return jax.lax.top_k(scores_flat, K)
 
 
-def decode_bbox_from_heatmap(heatmap, rot_cos, rot_sin, center, center_z, dim,
+def decode_bbox_from_heatmap(heatmap_logits, rot_cos, rot_sin, center,
+                             center_z, log_dim,
                              point_cloud_range, voxel_size, feature_map_stride,
                              vel=None, iou=None, K=100, score_thresh=None,
                              post_center_limit_range=None):
     """NHWC single-sample decode.
 
-    heatmap: (H, W, C) sigmoided; center: (H, W, 2); center_z: (H, W, 1);
-    dim: (H, W, 3) already exp'd; rot_cos/rot_sin: (H, W, 1);
-    vel: (H, W, 2) or None.
+    heatmap_logits: (H, W, C) RAW (pre-sigmoid) — sigmoid is monotonic, so
+    top-K on logits picks the same cells and the sigmoid runs on K values
+    instead of the full map (reference decodes post-sigmoid maps;
+    centernet_utils.py:decode_bbox_from_heatmap).  log_dim: (H, W, 3) raw
+    (pre-exp) for the same reason.  center: (H, W, 2); center_z: (H, W, 1);
+    rot_cos/rot_sin: (H, W, 1); vel: (H, W, 2) or None.
 
     Returns (boxes (K, 7 or 9), scores (K,), labels (K,), valid (K,)).
     """
-    H, W, C = heatmap.shape
-    flat = heatmap.reshape(-1)                      # idx = (y*W + x)*C + c
-    scores, idx = _topk(flat, K)
+    H, W, C = heatmap_logits.shape
+    flat = heatmap_logits.reshape(-1)               # idx = (y*W + x)*C + c
+    score_logits, idx = _topk(flat, K)
+    scores = jax.nn.sigmoid(score_logits)
     cls = idx % C
     spatial = idx // C
     xs = (spatial % W).astype(jnp.float32)
@@ -97,7 +102,7 @@ def decode_bbox_from_heatmap(heatmap, rot_cos, rot_sin, center, center_z, dim,
     xs = (xs + cen[:, 0]) * feature_map_stride * voxel_size[0] + point_cloud_range[0]
     ys = (ys + cen[:, 1]) * feature_map_stride * voxel_size[1] + point_cloud_range[1]
     zs = g(center_z)[:, 0]
-    dims = g(dim)
+    dims = jnp.exp(g(log_dim))
     rot = jnp.arctan2(g(rot_sin)[:, 0], g(rot_cos)[:, 0])
     parts = [xs[:, None], ys[:, None], zs[:, None], dims, rot[:, None]]
     if vel is not None:

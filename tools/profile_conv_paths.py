@@ -31,8 +31,9 @@ def main():
     ap.add_argument("--bm", type=int, default=128)
     ap.add_argument("--s", type=int, default=256)
     ap.add_argument("--configs", default=None,
-                    help="comma list of bm:s pairs to sweep (one-hot kernel "
-                         "only, e.g. 256:512,512:768); overrides --bm/--s")
+                    help="comma list of bm:s[:u] triples to sweep (one-hot "
+                         "kernel only, e.g. 256:512,256:384:u for uncond-B); "
+                         "overrides --bm/--s")
     ap.add_argument("--dtypes", default="bf16,int8")
     ap.add_argument("--no-gather", action="store_true",
                     help="skip the plain gather-path baseline")
@@ -95,9 +96,11 @@ def main():
         xcol = jnp.asarray(coords[:, -1])
         chunk = jnp.asarray(chunk_np)
         nxs = int(sp[-1])
-        configs = ([(int(a), int(b)) for a, b in
-                    (c.split(":") for c in args.configs.split(","))]
-                   if args.configs else [(args.bm, args.s)])
+        def _parse(c):
+            parts = c.split(":")
+            return int(parts[0]), int(parts[1]), len(parts) > 2
+        configs = ([_parse(c) for c in args.configs.split(",")]
+                   if args.configs else [(args.bm, args.s, False)])
         dtype_map = {"bf16": jnp.bfloat16, "int8": jnp.int8}
         for dname in args.dtypes.split(","):
             dtype = dtype_map[dname]
@@ -125,7 +128,7 @@ def main():
                 jg = jax.jit(gfn, static_argnames=())
                 tg = time_loop(jg, feats, st_keys, xcol, chunk, w)
             entry = {"N": N, "C": C, "gather_ms": round(tg * 1e3, 3)}
-            for bm, s in configs:
+            for bm, s, uncond in configs:
                 if not pallas_conv.onehot_conv_available(N, 3 * C, s, bm):
                     continue
                 prep = pallas_conv.prepare_chunk(chunk, N, bm, s)
@@ -135,13 +138,13 @@ def main():
                 ok = bool(np.asarray(prep[4]))
 
                 def kfn(feats, keys, xcol, chunk, w, k, _nx=nxs,
-                        _prep=prep, _bm=bm, _s=s):
+                        _prep=prep, _bm=bm, _s=s, _u=uncond):
                     def body(i, s_):
                         eps = (s_ * 1e-38).astype(jnp.int32)
                         f = feats + eps.astype(feats.dtype)
                         out = pallas_conv.gather_conv_chunked_fast(
                             f, keys, xcol, _nx, chunk, w, prep=_prep,
-                            force_kernel=True, bm=_bm, s=_s)
+                            force_kernel=True, bm=_bm, s=_s, uncond=_u)
                         return out.astype(jnp.float32).sum()
                     return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
@@ -152,8 +155,9 @@ def main():
                     log(f"kernel failed stage{si+1} {dname} "
                         f"bm{bm}/s{s}: {e}")
                     tk = float("nan")
-                entry[f"onehot_bm{bm}_s{s}_ms"] = round(tk * 1e3, 3)
-                log(f"stage{si+1} {dname}: N={N} C={C} bm{bm}/s{s} "
+                tag = f"bm{bm}_s{s}" + ("_u" if uncond else "")
+                entry[f"onehot_{tag}_ms"] = round(tk * 1e3, 3)
+                log(f"stage{si+1} {dname}: N={N} C={C} {tag} "
                     f"onehot {tk*1e3:.3f} ms (ovf {n_ovf} ok={ok}) "
                     f"gather {tg*1e3:.3f} ms")
             results[f"stage{si+1}_{dname}"] = entry
