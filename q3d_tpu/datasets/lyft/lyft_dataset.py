@@ -59,13 +59,22 @@ class LyftDataset(DatasetTemplate):
         return annos
 
     def evaluation(self, det_annos, class_names, **kwargs):
-        from ...utils.simple_eval import simple_map
+        """Official Lyft mAP (reference lyft_dataset.py:145 lyft_eval):
+        COCO-style AP averaged over EVAL_LYFT_IOU_LIST (default
+        0.5:0.95:0.05) via the vendored-toolkit protocol."""
+        from .lyft_eval import lyft_eval, DEFAULT_IOU_THRESHOLDS
+        iou_list = self.dataset_cfg.get("EVAL_LYFT_IOU_LIST",
+                                        list(DEFAULT_IOU_THRESHOLDS))
         gt_by_frame = {Path(i["lidar_path"]).stem: {
+            "frame_id": Path(i["lidar_path"]).stem,
             "boxes": np.asarray(i.get("gt_boxes", np.zeros((0, 7))),
                                 np.float32)[:, :7],
             "names": np.asarray(i.get("gt_names", []))} for i in self.infos}
-        gts = [gt_by_frame.get(d["frame_id"], {"boxes": np.zeros((0, 7)),
-                                               "names": np.zeros(0)})
-               for d in det_annos]
-        ap = simple_map(det_annos, gts, class_names)
-        return "\n".join(f"{k}: {v:.4f}" for k, v in ap.items()), ap
+        empty = {"frame_id": "", "boxes": np.zeros((0, 7)),
+                 "names": np.zeros(0)}
+        gts = []
+        for d in det_annos:
+            g = dict(gt_by_frame.get(d["frame_id"], empty))
+            g["frame_id"] = d["frame_id"]
+            gts.append(g)
+        return lyft_eval(det_annos, gts, class_names, iou_list)

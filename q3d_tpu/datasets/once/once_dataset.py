@@ -58,35 +58,21 @@ class ONCEDataset(DatasetTemplate):
         return annos
 
     def evaluation(self, det_annos, class_names, **kwargs):
-        from ...utils.simple_eval import simple_map
+        """Official ONCE protocol (reference once_eval/evaluation.py):
+        superclass AP@50 over overall + distance buckets."""
+        from .once_eval import get_evaluation_results
         gt_by_frame = {info["frame_id"]: {
-            "boxes": np.asarray(info.get("annos", {}).get(
-                "boxes_3d", np.zeros((0, 7))), np.float32)[:, :7],
-            "names": np.asarray(info.get("annos", {}).get("name", []))}
+            "boxes_3d": np.asarray(info.get("annos", {}).get(
+                "boxes_3d", np.zeros((0, 7))), np.float64)[:, :7],
+            "name": np.asarray(info.get("annos", {}).get("name", []),
+                               dtype=object)}
             for info in self.infos}
-        results = {}
-        # ONCE-style distance buckets
-        for lo, hi, tag in [(0, 1e9, "overall"), (0, 30, "0-30m"),
-                            (30, 50, "30-50m"), (50, 1e9, "50m+")]:
-            dets, gts = [], []
-            for det in det_annos:
-                gt = gt_by_frame.get(det["frame_id"],
-                                     {"boxes": np.zeros((0, 7)),
-                                      "names": np.zeros(0)})
-
-                def range_mask(boxes):
-                    if len(boxes) == 0:
-                        return np.zeros(0, bool)
-                    d = np.linalg.norm(boxes[:, :2], axis=1)
-                    return (d >= lo) & (d < hi)
-
-                dm = range_mask(det["boxes_lidar"])
-                gm = range_mask(gt["boxes"])
-                dets.append({"boxes_lidar": det["boxes_lidar"][dm][:, :7],
-                             "name": det["name"][dm],
-                             "score": det["score"][dm]})
-                gts.append({"boxes": gt["boxes"][gm], "names": gt["names"][gm]})
-            ap = simple_map(dets, gts, class_names)
-            for k, v in ap.items():
-                results[f"{tag}/{k}"] = v
-        return "\n".join(f"{k}: {v:.4f}" for k, v in results.items()), results
+        empty = {"boxes_3d": np.zeros((0, 7)),
+                 "name": np.zeros(0, dtype=object)}
+        gt_annos = [gt_by_frame.get(d["frame_id"], empty) for d in det_annos]
+        pred_annos = [{"boxes_3d": np.asarray(d["boxes_lidar"],
+                                              np.float64)[:, :7],
+                       "name": np.asarray(d["name"], dtype=object),
+                       "score": np.asarray(d["score"], np.float64)}
+                      for d in det_annos]
+        return get_evaluation_results(gt_annos, pred_annos, list(class_names))

@@ -91,26 +91,39 @@ class WaymoDataset(DatasetTemplate):
         return annos
 
     def evaluation(self, det_annos, class_names, **kwargs):
+        """Waymo AP/APH at LEVEL_1/LEVEL_2 (reference waymo_eval.py).  The
+        official OD-API metric ops are used when importable; otherwise the
+        built-in numpy protocol evaluator runs the same breakdown."""
+        from .waymo_eval import (waymo_evaluation, waymo_evaluation_official)
+        gt_infos = []
+        for info in self.infos:
+            fid = (f"{info['point_cloud']['lidar_sequence']}_"
+                   f"{info['point_cloud']['sample_idx']}")
+            annos = info.get("annos", {})
+            names = np.asarray(annos.get("name", []), dtype=object)
+            mask = names != "unknown"
+            gt_infos.append({
+                "frame_id": fid,
+                "gt_boxes_lidar": np.asarray(
+                    annos.get("gt_boxes_lidar",
+                              np.zeros((0, 7))))[mask][:, :7],
+                "name": names[mask],
+                "difficulty": (np.asarray(annos["difficulty"])[mask]
+                               if "difficulty" in annos
+                               else np.zeros(int(mask.sum()))),
+                "num_points_in_gt": (
+                    np.asarray(annos["num_points_in_gt"])[mask]
+                    if "num_points_in_gt" in annos
+                    else np.full(int(mask.sum()), 100)),
+            })
+        by_fid = {g["frame_id"]: g for g in gt_infos}
+        gts = [by_fid.get(d["frame_id"],
+                          {"frame_id": d["frame_id"],
+                           "gt_boxes_lidar": np.zeros((0, 7)),
+                           "name": np.zeros(0, dtype=object)})
+               for d in det_annos]
         try:
-            from waymo_open_dataset.metrics.python import \
-                detection_metrics  # noqa: F401
-            raise NotImplementedError(
-                "official Waymo metric wiring requires the full OD API")
+            import waymo_open_dataset  # noqa: F401
+            return waymo_evaluation_official(det_annos, gts, class_names)
         except ImportError:
-            from ...utils.simple_eval import simple_map
-            gt_by_frame = {}
-            for info in self.infos:
-                fid = (f"{info['point_cloud']['lidar_sequence']}_"
-                       f"{info['point_cloud']['sample_idx']}")
-                annos = info.get("annos", {})
-                mask = annos.get("name", np.zeros(0)) != "unknown" \
-                    if "name" in annos else np.zeros(0, bool)
-                gt_by_frame[fid] = {
-                    "boxes": annos.get("gt_boxes_lidar",
-                                       np.zeros((0, 7)))[mask][:, :7],
-                    "names": annos.get("name", np.zeros(0))[mask]}
-            gts = [gt_by_frame.get(d["frame_id"],
-                                   {"boxes": np.zeros((0, 7)),
-                                    "names": np.zeros(0)}) for d in det_annos]
-            ap = simple_map(det_annos, gts, class_names)
-            return "\n".join(f"{k}: {v:.4f}" for k, v in ap.items()), ap
+            return waymo_evaluation(det_annos, gts, class_names)

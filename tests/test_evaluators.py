@@ -146,3 +146,184 @@ def test_nuscenes_wrong_class_no_credit():
     dets = [_nusc_frame([box], ["truck"], [0.9])]
     _, m = nuscenes_eval(dets, gts, ["car", "truck"])
     assert m["AP_car"] == 0.0
+
+
+# ---------------------------- ONCE protocol ----------------------------
+
+def _once_anno(boxes, names, scores=None):
+    a = {"boxes_3d": np.asarray(boxes, np.float64).reshape(-1, 7),
+         "name": np.asarray(names, dtype=object)}
+    if scores is not None:
+        a["score"] = np.asarray(scores, np.float64)
+    return a
+
+
+def _once_eval(gts, dets, classes=("Car", "Bus", "Truck", "Pedestrian")):
+    from q3d_tpu.datasets.once.once_eval import get_evaluation_results
+    return get_evaluation_results(gts, dets, list(classes))
+
+
+def test_once_perfect_predictions():
+    rng = np.random.RandomState(0)
+    gts, dets = [], []
+    for f in range(30):
+        boxes = [[f * 0.5, 10, 1, 4, 2, 1.5, 0.2],
+                 [f * 0.5, 40, 1, 4, 2, 1.5, -0.3]]
+        gts.append(_once_anno(boxes, ["Car", "Truck"]))
+        dets.append(_once_anno(boxes, ["Car", "Truck"],
+                               rng.uniform(0.5, 1.0, 2)))
+    _, res = _once_eval(gts, dets)
+    assert res["AP_Vehicle/overall"] > 95.0, res
+    # all boxes are < 50m -> 50m-inf bucket has no gt -> 0
+    assert res["AP_Vehicle/50m-inf"] == 0.0
+
+
+def test_once_heading_gate_zeroes_iou():
+    # same box but heading flipped by pi -> IoU gated to 0 -> AP 0
+    box = [[5, 10, 1, 4, 2, 1.5, 0.0]]
+    flipped = [[5, 10, 1, 4, 2, 1.5, float(np.pi)]]
+    gts = [_once_anno(box, ["Car"])] * 10
+    dets = [_once_anno(flipped, ["Car"], [0.9])] * 10
+    _, res = _once_eval(gts, dets, classes=("Car", "Bus", "Truck"))
+    assert res["AP_Vehicle/overall"] == 0.0, res
+
+
+def test_once_distance_buckets():
+    # near gt detected, far gt missed: 0-30m bucket perfect, 30-50m zero
+    rng = np.random.RandomState(2)
+    gts, dets = [], []
+    for f in range(30):
+        near = [f * 0.3, 10, 1, 4, 2, 1.5, 0.1]
+        far = [f * 0.3, 40, 1, 4, 2, 1.5, 0.1]
+        gts.append(_once_anno([near, far], ["Car", "Car"]))
+        dets.append(_once_anno([near], ["Car"], rng.uniform(0.5, 1.0, 1)))
+    _, res = _once_eval(gts, dets, classes=("Car", "Bus", "Truck"))
+    assert res["AP_Vehicle/0-30m"] > 95.0, res
+    assert res["AP_Vehicle/30-50m"] == 0.0, res
+
+
+def test_once_superclass_merges_vehicle():
+    # Car gt detected as Truck: both map to Vehicle -> still a match
+    box = [[5, 10, 1, 4, 2, 1.5, 0.0]]
+    gts, dets = [], []
+    rng = np.random.RandomState(3)
+    for f in range(20):
+        gts.append(_once_anno(box, ["Car"]))
+        dets.append(_once_anno(box, ["Truck"], rng.uniform(0.5, 1.0, 1)))
+    _, res = _once_eval(gts, dets, classes=("Car", "Bus", "Truck"))
+    assert res["AP_Vehicle/overall"] > 95.0, res
+
+
+# ---------------------------- Lyft mAP ----------------------------
+
+def _lyft_det(fid, boxes, names, scores):
+    return {"frame_id": fid,
+            "boxes_lidar": np.asarray(boxes, np.float64).reshape(-1, 7),
+            "name": np.asarray(names, dtype=object),
+            "score": np.asarray(scores, np.float64)}
+
+
+def _lyft_gt(fid, boxes, names):
+    return {"frame_id": fid,
+            "boxes": np.asarray(boxes, np.float64).reshape(-1, 7),
+            "names": np.asarray(names, dtype=object)}
+
+
+def test_lyft_perfect_predictions_map1():
+    from q3d_tpu.datasets.lyft.lyft_eval import lyft_eval
+    box = [1, 2, 0, 4, 2, 1.5, 0.3]
+    dets = [_lyft_det(f, [box], ["car"], [0.9]) for f in range(5)]
+    gts = [_lyft_gt(f, [box], ["car"]) for f in range(5)]
+    _, res = lyft_eval(dets, gts, ["car"])
+    assert res["mAP_car"] > 0.99, res
+
+
+def test_lyft_iou_threshold_sweep():
+    from q3d_tpu.datasets.lyft.lyft_eval import lyft_eval
+    # shifted box: BEV IoU = (4-1)*2 / (2*4*2 - (4-1)*2) = 6/10 = 0.6,
+    # full height overlap -> 3D IoU 0.6: passes thresholds 0.5, 0.55 only
+    gt_box = [0, 0, 0, 4, 2, 1.5, 0.0]
+    dt_box = [1, 0, 0, 4, 2, 1.5, 0.0]
+    dets = [_lyft_det(f, [dt_box], ["car"], [0.9]) for f in range(5)]
+    gts = [_lyft_gt(f, [gt_box], ["car"]) for f in range(5)]
+    _, res = lyft_eval(dets, gts, ["car"],
+                       iou_thresholds=[0.5, 0.55, 0.6, 0.65])
+    assert abs(res["mAP_car"] - 0.5) < 1e-6, res
+
+
+def test_lyft_duplicate_detection_is_fp():
+    from q3d_tpu.datasets.lyft.lyft_eval import lyft_eval
+    box = [0, 0, 0, 4, 2, 1.5, 0.0]
+    dets = [_lyft_det(0, [box, box], ["car", "car"], [0.9, 0.8])]
+    gts = [_lyft_gt(0, [box], ["car"])]
+    _, res = lyft_eval(dets, gts, ["car"], iou_thresholds=[0.5])
+    # AP: tp at rank 1 (p=1), fp at rank 2 -> AP = 1.0 (recall saturates)
+    assert res["mAP_car"] > 0.99, res
+
+
+# ---------------------------- Waymo AP/APH ----------------------------
+
+def _waymo_gt(fid, boxes, names, npts=None):
+    n = len(names)
+    return {"frame_id": fid,
+            "gt_boxes_lidar": np.asarray(boxes, np.float64).reshape(-1, 7),
+            "name": np.asarray(names, dtype=object),
+            "difficulty": np.zeros(n),
+            "num_points_in_gt": np.asarray(
+                npts if npts is not None else [100] * n)}
+
+
+def _waymo_det(fid, boxes, names, scores):
+    return {"frame_id": fid,
+            "boxes_lidar": np.asarray(boxes, np.float64).reshape(-1, 7),
+            "name": np.asarray(names, dtype=object),
+            "score": np.asarray(scores, np.float64)}
+
+
+def test_waymo_perfect_predictions():
+    from q3d_tpu.datasets.waymo.waymo_eval import waymo_evaluation
+    box = [5, 10, 1, 4.5, 2, 1.6, 0.3]
+    gts = [_waymo_gt(f, [box], ["Vehicle"]) for f in range(10)]
+    dets = [_waymo_det(f, [box], ["Vehicle"], [0.9]) for f in range(10)]
+    _, res = waymo_evaluation(dets, gts, ["Vehicle"])
+    assert res["OBJECT_TYPE_TYPE_VEHICLE_LEVEL_1/AP"] > 99.0, res
+    assert res["OBJECT_TYPE_TYPE_VEHICLE_LEVEL_2/APH"] > 99.0, res
+
+
+def test_waymo_heading_error_hurts_aph_not_ap():
+    from q3d_tpu.datasets.waymo.waymo_eval import waymo_evaluation
+    gt_box = [5, 10, 1, 4.5, 4.5, 1.6, 0.0]
+    # square BEV footprint: pi/2 heading error keeps IoU 1 but APH halves...
+    det_box = [5, 10, 1, 4.5, 4.5, 1.6, float(np.pi / 2)]
+    gts = [_waymo_gt(f, [gt_box], ["Vehicle"]) for f in range(10)]
+    dets = [_waymo_det(f, [det_box], ["Vehicle"], [0.9]) for f in range(10)]
+    _, res = waymo_evaluation(dets, gts, ["Vehicle"])
+    ap = res["OBJECT_TYPE_TYPE_VEHICLE_LEVEL_2/AP"]
+    aph = res["OBJECT_TYPE_TYPE_VEHICLE_LEVEL_2/APH"]
+    assert ap > 99.0, res
+    assert 40.0 < aph < 60.0, res
+
+
+def test_waymo_level1_excludes_sparse_gts():
+    from q3d_tpu.datasets.waymo.waymo_eval import waymo_evaluation
+    near = [5, 10, 1, 4.5, 2, 1.6, 0.0]
+    far = [5, 50, 1, 4.5, 2, 1.6, 0.0]
+    # far gt has <= 5 points -> LEVEL_2 only; it is never detected
+    gts = [_waymo_gt(f, [near, far], ["Vehicle", "Vehicle"], [100, 3])
+           for f in range(10)]
+    dets = [_waymo_det(f, [near], ["Vehicle"], [0.9]) for f in range(10)]
+    _, res = waymo_evaluation(dets, gts, ["Vehicle"])
+    assert res["OBJECT_TYPE_TYPE_VEHICLE_LEVEL_1/AP"] > 99.0, res
+    assert 40.0 < res["OBJECT_TYPE_TYPE_VEHICLE_LEVEL_2/AP"] < 60.0, res
+
+
+def test_waymo_distance_cap_drops_boxes():
+    from q3d_tpu.datasets.waymo.waymo_eval import waymo_evaluation
+    inside = [5, 10, 1, 4.5, 2, 1.6, 0.0]
+    outside = [5, 150, 1, 4.5, 2, 1.6, 0.0]   # beyond 100m: dropped
+    gts = [_waymo_gt(f, [inside, outside], ["Vehicle", "Vehicle"])
+           for f in range(10)]
+    dets = [_waymo_det(f, [inside, outside], ["Vehicle", "Vehicle"],
+                       [0.9, 0.8]) for f in range(10)]
+    _, res = waymo_evaluation(dets, gts, ["Vehicle"])
+    assert res["OBJECT_TYPE_TYPE_VEHICLE_LEVEL_2/AP"] > 99.0, res
