@@ -166,3 +166,150 @@ def test_qat_train_step_reduces_loss():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def _box_with_points(rng, center=(5, 3, 0), dims=(4, 2, 2), yaw=0.7, n=50):
+    box = np.array([[*center, *dims, yaw]], np.float32)
+    local = rng.uniform(-0.45, 0.45, (n, 3)) * box[0, 3:6]
+    c, s = np.cos(yaw), np.sin(yaw)
+    pts = np.zeros((n, 4), np.float32)
+    pts[:, 0] = local[:, 0] * c - local[:, 1] * s + center[0]
+    pts[:, 1] = local[:, 0] * s + local[:, 1] * c + center[1]
+    pts[:, 2] = local[:, 2] + center[2]
+    pts[:, 3] = rng.uniform(0, 1, n)
+    return box, pts
+
+
+def test_local_augmentations_keep_points_in_boxes():
+    """Local translation / rotation / scaling move each object's points WITH
+    the box (reference augmentor_utils.py:153-367)."""
+    from q3d_tpu.datasets.augmentor import augmentor_utils
+    from q3d_tpu.ops.roiaware_pool3d import points_in_boxes_cpu
+    rng = np.random.RandomState(0)
+    box, pts = _box_with_points(rng)
+
+    for fn in [
+        lambda b, p: augmentor_utils.random_local_translation_along_x(
+            b, p, [1.0, 1.0]),
+        lambda b, p: augmentor_utils.random_local_translation_along_y(
+            b, p, [-0.8, -0.8]),
+        lambda b, p: augmentor_utils.random_local_translation_along_z(
+            b, p, [0.5, 0.5]),
+        lambda b, p: augmentor_utils.local_rotation(b, p, [0.4, 0.4]),
+        lambda b, p: augmentor_utils.local_scaling(b, p, [1.15, 1.25]),
+    ]:
+        np.random.seed(3)
+        b2, p2 = fn(box.copy(), pts.copy())
+        flags = points_in_boxes_cpu(p2[:, :3], b2[:, :7])
+        assert flags.sum() == len(pts), "local aug broke point-box pairing"
+        assert not np.allclose(p2[:, :3], pts[:, :3]), "aug was a no-op"
+
+
+def test_local_translation_moves_box_and_points_together():
+    from q3d_tpu.datasets.augmentor import augmentor_utils
+    rng = np.random.RandomState(1)
+    box, pts = _box_with_points(rng)
+    np.random.seed(0)
+    b2, p2 = augmentor_utils.random_local_translation_along_x(
+        box.copy(), pts.copy(), [2.0, 2.0])
+    np.testing.assert_allclose(b2[0, 0] - box[0, 0], 2.0, atol=1e-6)
+    np.testing.assert_allclose(p2[:, 0] - pts[:, 0], 2.0, atol=1e-6)
+    # outside points untouched
+    far = np.array([[50.0, 50, 0, 0.5]], np.float32)
+    np.random.seed(0)
+    _, p3 = augmentor_utils.random_local_translation_along_x(
+        box.copy(), far.copy(), [2.0, 2.0])
+    np.testing.assert_allclose(p3, far)
+
+
+def test_global_frustum_dropout_directions():
+    from q3d_tpu.datasets.augmentor import augmentor_utils
+    rng = np.random.RandomState(2)
+    pts = rng.uniform(-10, 10, (500, 4)).astype(np.float32)
+    boxes = np.array([[0, 9.5, 0, 2, 2, 2, 0.0],
+                      [0, -9.5, 0, 2, 2, 2, 0.0]], np.float32)
+    np.random.seed(0)
+    b2, p2 = augmentor_utils.global_frustum_dropout_left(
+        boxes.copy(), pts.copy(), [0.3, 0.3])
+    # top 30% of the y extent dropped -> high-y box and points gone
+    assert p2[:, 1].max() < pts[:, 1].max() - 3
+    assert len(b2) == 1 and b2[0, 1] == -9.5
+    np.random.seed(0)
+    b3, p3 = augmentor_utils.global_frustum_dropout_top(
+        boxes.copy(), pts.copy(), [0.3, 0.3])
+    assert p3[:, 2].max() < pts[:, 2].max() - 3
+    assert len(p3) < len(pts)
+
+
+def test_local_frustum_dropout_only_hits_box_points():
+    from q3d_tpu.datasets.augmentor import augmentor_utils
+    rng = np.random.RandomState(3)
+    box, inside = _box_with_points(rng)
+    outside = np.array([[30.0, 30, 0.9, 0.1]], np.float32)
+    pts = np.concatenate([inside, outside])
+    np.random.seed(0)
+    _, p2 = augmentor_utils.local_frustum_dropout_top(
+        box.copy(), pts.copy(), [1.0, 1.0])   # full-extent slab: drop all
+    # all in-box points dropped, outside point kept
+    assert len(p2) == 1 and p2[0, 0] == 30.0
+
+
+def test_pyramid_aug_runs_and_preserves_schema():
+    from q3d_tpu.datasets.augmentor import augmentor_utils
+    rng = np.random.RandomState(4)
+    b1, p1 = _box_with_points(rng, center=(5, 3, 0))
+    b2, p2 = _box_with_points(rng, center=(-6, -2, 0), yaw=-0.3)
+    boxes = np.concatenate([b1, b2])
+    pts = np.concatenate([p1, p2])
+    np.random.seed(1)
+    gb, gp, pyr = augmentor_utils.local_pyramid_dropout(
+        boxes.copy(), pts.copy(), dropout_prob=1.0)
+    assert gp.shape[1] == pts.shape[1]
+    assert len(gp) < len(pts), "dropout_prob=1 must remove points"
+    assert pyr.shape[0] == 0, "all boxes consumed by dropout"
+    # swap with prob 1: points stay inside their (unchanged) boxes
+    np.random.seed(2)
+    sb, sp = augmentor_utils.local_pyramid_swap(
+        boxes.copy(), pts.copy(), prob=1.0, max_num_pts=1)
+    assert sp.shape[1] == pts.shape[1]
+    np.testing.assert_allclose(sb, boxes)
+
+
+def test_data_augmentor_registers_all_reference_names():
+    """Every AUG name used by reference kitti/nuscenes cfgs resolves."""
+    from q3d_tpu.datasets.augmentor.data_augmentor import DataAugmentor
+    for name in ["gt_sampling", "random_world_flip", "random_world_rotation",
+                 "random_world_scaling", "random_world_translation",
+                 "random_local_translation", "random_local_rotation",
+                 "random_local_scaling", "random_world_frustum_dropout",
+                 "random_local_frustum_dropout", "random_local_pyramid_aug",
+                 "random_image_flip"]:
+        assert callable(getattr(DataAugmentor, name, None)), name
+
+
+def test_data_augmentor_queue_local_steps():
+    """Queue the new steps through the config path and run a forward."""
+    from q3d_tpu.config import EDict
+    from q3d_tpu.datasets.augmentor.data_augmentor import DataAugmentor
+    rng = np.random.RandomState(5)
+    box, pts = _box_with_points(rng)
+    cfgs = EDict({"AUG_CONFIG_LIST": [
+        {"NAME": "random_local_translation",
+         "LOCAL_TRANSLATION_RANGE": [-0.2, 0.2],
+         "ALONG_AXIS_LIST": ["x", "y"]},
+        {"NAME": "random_local_rotation", "LOCAL_ROT_ANGLE": 0.15},
+        {"NAME": "random_local_scaling",
+         "LOCAL_SCALE_RANGE": [0.95, 1.05]},
+        {"NAME": "random_world_frustum_dropout",
+         "INTENSITY_RANGE": [0.05, 0.1], "DIRECTION": ["top"]},
+        {"NAME": "random_local_frustum_dropout",
+         "INTENSITY_RANGE": [0.0, 0.1], "DIRECTION": ["bottom"]},
+        {"NAME": "random_local_pyramid_aug", "DROP_PROB": 0.2,
+         "SPARSIFY_PROB": 0.2, "SPARSIFY_MAX_NUM": 10,
+         "SWAP_PROB": 0.2, "SWAP_MAX_NUM": 10},
+    ]})
+    aug = DataAugmentor(None, cfgs, ["Car"])
+    out = aug.forward({"gt_boxes": box.copy(), "points": pts.copy(),
+                       "gt_names": np.array(["Car"])})
+    assert out["points"].shape[1] == 4
+    assert out["gt_boxes"].shape[1] == 7
