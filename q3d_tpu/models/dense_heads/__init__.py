@@ -3,7 +3,8 @@ from .anchor_head_multi import AnchorHeadMulti  # noqa: F401
 from .center_head import CenterHead  # noqa: F401
 from .voxelnext_head import VoxelNeXtHead  # noqa: F401
 from .transfusion_head import TransFusionHead  # noqa: F401
-from .point_head import PointHeadSimple, PointHeadBox  # noqa: F401
+from .point_head import (PointHeadSimple, PointHeadBox,  # noqa: F401
+                         PointIntraPartOffsetHead)
 
 __all__ = {
     "AnchorHeadSingle": AnchorHeadSingle,
@@ -13,6 +14,7 @@ __all__ = {
     "TransFusionHead": TransFusionHead,
     "PointHeadSimple": PointHeadSimple,
     "PointHeadBox": PointHeadBox,
+    "PointIntraPartOffsetHead": PointIntraPartOffsetHead,
 }
 
 

@@ -160,3 +160,97 @@ class PointHeadBox(PointHeadTemplate):
             batch_dict["point_box_preds"] = boxes
             batch_dict["point_cls_preds"] = cls_logits
         return batch_dict
+
+
+class PointIntraPartOffsetHead(PointHeadTemplate):
+    """Part-A2's intra-object part-location head (reference
+    ``dense_heads/point_intra_part_head.py``): per-point foreground
+    classification + regression of the point's normalized position INSIDE
+    its object box ("part offset" in [0, 1]^3, canonical frame).
+
+    Training: focal seg loss + BCE part loss on foreground points
+    (``point_head_template.py:157-169``); part targets are the rotated
+    box-local coordinates / dims + 0.5 (``:114-122``).
+    Inference: emits ``point_cls_scores`` and sigmoid ``point_part_offset``
+    consumed by PartA2FCHead's part-aware ROI pooling.
+    """
+
+    def setup(self):
+        cfg = self.model_cfg
+        self.cls_layers = _MLP(tuple(cfg.CLS_FC), self.num_class,
+                               name="cls_layers")
+        self.part_reg_layers = _MLP(tuple(cfg.PART_FC), 3,
+                                    name="part_reg_layers")
+        target_cfg = cfg.get("TARGET_CONFIG", {})
+        if target_cfg.get("BOX_CODER", None) is not None:
+            self.box_coder = getattr(box_coder_utils, target_cfg.BOX_CODER)(
+                **target_cfg.get("BOX_CODER_CONFIG", {}))
+            self.box_layers = _MLP(tuple(cfg.REG_FC),
+                                   self.box_coder.code_size,
+                                   name="box_layers")
+        else:
+            self.box_layers = None
+
+    def _part_targets(self, xyz, bidx, box_idx, labels, gt_boxes):
+        """(N, 3) part labels for fg points: canonical-frame location
+        normalized into [0, 1]."""
+        M = gt_boxes.shape[1]
+        gt_flat = gt_boxes.reshape(-1, gt_boxes.shape[-1])
+        gt_of_point = gt_flat[bidx.astype(jnp.int32) * M + box_idx]
+        rel = xyz - gt_of_point[:, 0:3]
+        rel = common_utils.rotate_points_along_z(
+            rel[:, None, :], -gt_of_point[:, 6])[:, 0, :]
+        part = rel / jnp.clip(gt_of_point[:, 3:6], 1e-4, None) + 0.5
+        return jnp.where((labels > 0)[:, None],
+                         jnp.clip(part, 0.0, 1.0), 0.0)
+
+    def __call__(self, batch_dict, train: bool = False):
+        feats = batch_dict["point_features"]
+        cls_logits = self.cls_layers(feats, train)
+        part_logits = self.part_reg_layers(feats, train)
+        batch_dict["point_cls_scores"] = jax.nn.sigmoid(cls_logits).max(-1)
+        batch_dict["point_part_offset"] = jax.nn.sigmoid(part_logits)
+        if self.box_layers is not None:
+            box_preds = self.box_layers(feats, train)
+        if train:
+            lw = self.model_cfg.LOSS_CONFIG.LOSS_WEIGHTS
+            xyz, bidx = self._point_xyz(batch_dict)
+            labels, box_idx = self.assign_targets(
+                xyz, bidx, batch_dict["gt_boxes"],
+                extra_width=tuple(self.model_cfg.get(
+                    "TARGET_CONFIG", {}).get("GT_EXTRA_WIDTH",
+                                             (0.2, 0.2, 0.2))))
+            valid = batch_dict["point_coords"][:, 0] >= 0
+            cared = (labels >= 0) & valid
+            pos = (labels > 0) & valid
+            one_hot = jax.nn.one_hot(jnp.clip(labels, 0, None),
+                                     self.num_class + 1)[..., 1:]
+            w = cared.astype(jnp.float32) / jnp.maximum(pos.sum(), 1.0)
+            cls_loss = loss_utils.sigmoid_focal_cls_loss(
+                cls_logits[None], one_hot[None], w[None]).sum() \
+                * lw["point_cls_weight"]
+            part_targets = self._part_targets(xyz, bidx, box_idx, labels,
+                                              batch_dict["gt_boxes"])
+            part_prob = jnp.clip(jax.nn.sigmoid(part_logits), 1e-6, 1 - 1e-6)
+            bce = -(part_targets * jnp.log(part_prob)
+                    + (1 - part_targets) * jnp.log(1 - part_prob))
+            part_loss = (bce.sum(-1) * pos.astype(jnp.float32)).sum() \
+                / (3.0 * jnp.maximum(pos.sum(), 1.0)) * lw["point_part_weight"]
+            total = cls_loss + part_loss
+            if self.box_layers is not None:
+                M = batch_dict["gt_boxes"].shape[1]
+                gt_flat = batch_dict["gt_boxes"].reshape(
+                    -1, batch_dict["gt_boxes"].shape[-1])
+                gt_of_point = gt_flat[bidx.astype(jnp.int32) * M + box_idx]
+                targets = self.box_coder.encode(
+                    gt_of_point[:, :7], xyz, jnp.clip(labels, 1, None))
+                diff = jnp.abs(box_preds - targets) * pos[:, None]
+                box_loss = diff.sum() / jnp.maximum(pos.sum(), 1.0) \
+                    * lw.get("point_box_weight", 1.0)
+                total = total + box_loss
+                batch_dict.setdefault("tb_dict", {})["point_box_loss"] = \
+                    box_loss
+            batch_dict["loss"] = batch_dict.get("loss", 0.0) + total
+            batch_dict.setdefault("tb_dict", {}).update(
+                {"point_cls_loss": cls_loss, "point_part_loss": part_loss})
+        return batch_dict

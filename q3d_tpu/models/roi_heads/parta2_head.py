@@ -1,10 +1,14 @@
-"""PartA2FCHead — ROI-aware grid pooling + FC refinement.
+"""PartA2FCHead — part-aware ROI pooling + FC refinement.
 
 Parity with reference ``roi_heads/partA2_head.py``: pools the UNet's
-stride-1 point features into a per-ROI voxel grid with
-``roiaware_pool3d`` (max pooling), flattens, and runs shared FC stacks into
-IoU-guided cls + canonical-frame box regression (the part-offset branch of
-the reference is folded into the pooled features).
+stride-1 point features into a per-ROI voxel grid with ``roiaware_pool3d``
+(MAX pooling), and — when the PointIntraPartOffsetHead ran — AVG-pools the
+per-point part features (part offset 3 + seg score 1), with offsets zeroed
+below ``SEG_MASK_SCORE_THRESH`` (reference ``partA2_head.py:121-151``).
+Both pooled grids are flattened and fused before the shared FC stack into
+IoU-guided cls + canonical-frame box regression (the reference runs two
+small sparse convs first; at these grid sizes a dense FC fusion is the
+TPU-friendly equivalent).
 """
 
 from typing import Any, Tuple
@@ -37,18 +41,33 @@ class PartA2FCHead(RoIHeadTemplate):
             rois = sampled[0]                              # (B, S, 7)
 
         B, R = rois.shape[:2]
-        grid = int(cfg.ROI_GRID_POOL.GRID_SIZE)
+        pool_cfg = cfg.get("ROI_GRID_POOL", None) or cfg.ROI_AWARE_POOL
+        grid = int(pool_cfg.get("GRID_SIZE", pool_cfg.get("POOL_SIZE", 12)))
         xyz = common_utils.get_voxel_centers(
             pt_coords[:, 1:], 1, self.voxel_size, self.point_cloud_range)
         bidx = pt_coords[:, 0]
+
+        part_feats = None
+        if "point_part_offset" in batch_dict:
+            seg_score = batch_dict["point_cls_scores"][:, None]
+            offset = batch_dict["point_part_offset"]
+            thresh = float(cfg.get("SEG_MASK_SCORE_THRESH", 0.3))
+            offset = jnp.where(seg_score < thresh,
+                               jnp.zeros_like(offset), offset)
+            part_feats = jnp.concatenate(
+                [offset, seg_score], axis=-1).astype(pt_feats.dtype)
 
         def pool_one(b):
             mask = (bidx == b)[:, None].astype(pt_feats.dtype)
             pooled = roiaware_pool3d(rois[b], xyz, pt_feats * mask,
                                      out_size=grid, pool_method="max")
-            return pooled                                   # (R, g, g, g, C)
+            if part_feats is None:
+                return pooled                               # (R, g, g, g, C)
+            pooled_part = roiaware_pool3d(rois[b], xyz, part_feats * mask,
+                                          out_size=grid, pool_method="avg")
+            return jnp.concatenate([pooled, pooled_part], axis=-1)
 
-        pooled = jnp.stack([pool_one(b) for b in range(B)])  # (B,R,g,g,g,C)
+        pooled = jnp.stack([pool_one(b) for b in range(B)])  # (B,R,g,g,g,C')
         x = pooled.reshape(B * R, -1)
         for i, c in enumerate(cfg.SHARED_FC):
             x = Linear(c, use_bias=False, name=f"shared_fc_{i}")(x)

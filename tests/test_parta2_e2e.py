@@ -47,3 +47,37 @@ def test_two_stage_train_loss(setup):
     assert np.isfinite(float(out["loss"]))
     tb = out["tb_dict"]
     assert "rcnn_cls_loss" in tb and "point_cls_loss" in tb
+
+
+def test_part_offsets_predicted_and_consumed(setup):
+    """PartA2's defining component (reference point_intra_part_head.py):
+    the part head emits [0,1]^3 offsets and the ROI head pools them."""
+    cfg, dataset, loader, model, variables = setup
+    batch = load_data_to_device(next(iter(loader)))
+
+    def run_to_point_head(m, b):
+        b = dict(b)
+        b = m.vfe(b, False)
+        b = m.backbone_3d(b, False)
+        b = m.map_to_bev_module(b, False)
+        b = m.backbone_2d(b, False)
+        b = m.dense_head(b, False)
+        b = m.point_head(b, False)
+        return b["point_part_offset"], b["point_cls_scores"]
+
+    part, scores = model.apply(variables, batch, method=run_to_point_head)
+    assert part.shape[-1] == 3
+    assert bool(jnp.all((part >= 0) & (part <= 1)))
+    assert scores.shape[0] == part.shape[0]
+
+
+def test_part_loss_in_training(setup):
+    cfg, dataset, loader, model, variables = setup
+    ds_t, loader_t, _ = build_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=2, training=True)
+    batch = load_data_to_device(next(iter(loader_t)))
+    out, _ = model.apply(variables, batch, train=True,
+                         mutable=["batch_stats"])
+    tb = out["tb_dict"]
+    assert "point_part_loss" in tb, tb.keys()
+    assert np.isfinite(float(tb["point_part_loss"]))
