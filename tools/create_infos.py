@@ -19,11 +19,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("dataset", choices=["kitti", "custom"])
+    parser.add_argument("dataset", choices=["kitti", "nuscenes", "custom"])
     parser.add_argument("--cfg_file", required=True)
     parser.add_argument("--data_path", required=True)
     parser.add_argument("--save_path", default=None)
     parser.add_argument("--with_gt_database", action="store_true")
+    parser.add_argument("--version", default="v1.0-trainval",
+                        help="nuscenes only")
+    parser.add_argument("--max_sweeps", type=int, default=None,
+                        help="nuscenes only (default: cfg MAX_SWEEPS)")
     args = parser.parse_args()
 
     from q3d_tpu.config import cfg_from_yaml_file, EDict
@@ -41,6 +45,23 @@ def main():
             out = ds.create_groundtruth_database(
                 Path(save_path) / "kitti_infos_train.pkl",
                 used_classes=class_names, split="train")
+            print(f"gt database -> {out}")
+    elif args.dataset == "nuscenes":
+        # gated on the nuscenes devkit like the reference
+        # (nuscenes_dataset.py:358 imports it inside the function)
+        from q3d_tpu.datasets.nuscenes.nuscenes_dataset import NuScenesDataset
+        from q3d_tpu.datasets.nuscenes.nuscenes_infos import (
+            create_nuscenes_info, create_groundtruth_database)
+        max_sweeps = args.max_sweeps or int(cfg.get("MAX_SWEEPS", 10))
+        outs = create_nuscenes_info(args.version, args.data_path, save_path,
+                                    max_sweeps=max_sweeps)
+        print("info pickles:", ", ".join(str(o) for o in outs))
+        if args.with_gt_database and args.version != "v1.0-test":
+            cfg.VERSION = args.version
+            ds = NuScenesDataset(dataset_cfg=cfg, class_names=None,
+                                 root_path=Path(save_path) / args.version,
+                                 training=True)
+            out = create_groundtruth_database(ds, max_sweeps=max_sweeps)
             print(f"gt database -> {out}")
     else:
         print("custom dataset: point/label files are consumed directly; "
