@@ -26,3 +26,25 @@ import pytest  # noqa: E402
 @pytest.fixture(autouse=True)
 def _seed():
     np.random.seed(0)
+
+
+# ---------------------------- test tiers ----------------------------
+# `pytest -m fast` = CI-style quick gate: pure-function tests with no
+# whole-model compiles.  `pytest -m "not e2e"` skips the model-family
+# integration tests (the heavy CPU compiles).
+
+_FAST_FILES = {
+    "test_geometry.py", "test_nuscenes_infos.py", "test_native_runtime.py",
+    "test_aux_ops.py", "test_quant.py", "test_real_configs.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = item.path.name if hasattr(item, "path") else \
+            item.fspath.basename
+        if fname in _FAST_FILES:
+            item.add_marker(pytest.mark.fast)
+        if fname.endswith("_e2e.py") or fname in (
+                "test_parallel.py", "test_torch_parity.py"):
+            item.add_marker(pytest.mark.e2e)
