@@ -32,6 +32,14 @@ ROOT = Path(__file__).resolve().parent
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(ROOT / ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 
+# under the axon tunnel the JAX_PLATFORMS env var alone is ignored; pin it
+# through jax.config so `JAX_PLATFORMS=cpu python bench.py` runs on CPU
+_platform = os.environ.get("Q3D_PLATFORM") or os.environ.get("JAX_PLATFORMS")
+if _platform:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _platform)
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -119,6 +127,80 @@ def _make_loop_runner(model, rules):
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
     return jax.jit(fn)
+
+
+def _make_window_runner(model, rules):
+    """Jitted fn(variables, stacked_batch): run the FULL forward over a
+    WINDOW of K distinct frames with ``lax.scan`` (one device program per
+    window, so tunnel dispatch cost amortizes over K frames).  Each frame
+    carries its own host-built rulebooks (stacked pytree leaves)."""
+    import jax
+    import jax.numpy as jnp
+    from q3d_tpu.quant.rules import quant_rules_scope
+
+    def fn(variables, stacked):
+        def body(carry, frame):
+            with quant_rules_scope(rules):
+                out = model.apply(variables, frame, train=False)
+            return carry + out["final_scores"].sum().astype(jnp.float32), None
+
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), stacked)
+        return total
+
+    return jax.jit(fn)
+
+
+def time_streaming(jfn, variables, frames, build_books, window=4):
+    """End-to-end streaming frames/sec INCLUDING host rulebook builds.
+
+    Serving pipeline: while the device runs window w (async dispatch), a
+    worker thread voxel-plans window w+1's rulebooks (host C++).  Steady
+    state = max(host, device) per window; this MEASURES that claim instead
+    of assuming it (the build for window 0 is outside the timed region,
+    matching a warm pipeline).
+
+    frames: list of device batches WITHOUT rulebooks; build_books(i) ->
+    host rulebook pytree for frame i.
+    """
+    import concurrent.futures
+    import jax
+    import numpy as np
+
+    def stack_window(idx, books_list):
+        leaves = []
+        for i, bi in zip(idx, books_list):
+            b = dict(frames[i])
+            b["rulebooks"] = bi
+            leaves.append(b)
+        return jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *leaves)
+
+    n = len(frames)
+    windows = [list(range(s, min(s + window, n)))
+               for s in range(0, n, window)]
+    windows = [w for w in windows if len(w) == window]     # static shape
+    ex = concurrent.futures.ThreadPoolExecutor(1)
+
+    def host_build(widx):
+        return [build_books(i) for i in windows[widx]]
+
+    # warm: books for window 0 + one compile run
+    books0 = host_build(0)
+    out = jfn(variables, stack_window(windows[0], books0))
+    _ = float(np.asarray(out))
+
+    t0 = time.perf_counter()
+    fut = ex.submit(host_build, 0)
+    pending = None
+    for w in range(len(windows)):
+        books = fut.result()
+        if w + 1 < len(windows):
+            fut = ex.submit(host_build, w + 1)
+        pending = jfn(variables, stack_window(windows[w], books))
+    _ = float(np.asarray(pending))
+    dt = time.perf_counter() - t0
+    ex.shutdown()
+    return len(windows) * window / dt
 
 
 def time_loop(jfn, variables, batch, iters):
@@ -264,6 +346,44 @@ def main():
     dt8 = max(measure(rules8, vars8, "int8"), host_ms / 1e3)
     fps8 = args.batch / dt8
 
+    fps_streaming = None
+    if args.host_rulebooks and "rulebooks" in batch16 and args.batch == 1:
+        # VERDICT r1 #4: prove the host/device pipelining end-to-end on N
+        # DISTINCT frames (per-frame rulebook rebuild on a worker thread)
+        from q3d_tpu.config import cfg_from_yaml_file, EDict
+        from q3d_tpu.datasets import build_dataloader
+        from q3d_tpu.ops.spconv import host_planner
+        n_frames, window = 16, 4
+        _, s_loader, _ = build_dataloader(
+            cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=1, training=False)
+        raws = []
+        it = iter(s_loader)
+        for _ in range(n_frames):
+            try:
+                raws.append(next(it))
+            except StopIteration:
+                it = iter(s_loader)
+                raws.append(next(it))
+        frames = []
+        for r in raws:
+            f = load_data_to_device(r, compute_dtype=jnp.bfloat16)
+            frames.append({k: v for k, v in f.items()
+                           if k in ("voxels", "voxel_coords",
+                                    "voxel_num_points")})
+        B, V = raws[0]["voxel_coords"].shape[:2]
+
+        def build_books_for(i):
+            return host_planner.build_for_backbone(
+                cfg.MODEL.BACKBONE_3D.NAME, cfg.MODEL.BACKBONE_3D,
+                model.dataset.grid_size, raws[i]["voxel_coords"], B * V)
+
+        log("timing int8 streaming (host builds overlapped) ...")
+        wfn = _make_window_runner(model, rules8)
+        fps_streaming = time_streaming(wfn, vars8, frames, build_books_for,
+                                       window=window)
+        log(f"int8 streaming: {fps_streaming:.2f} frames/s end-to-end "
+            f"(device loop: {fps8:.2f})")
+
     ratio = fps8 / fps16
     log(f"speedup int8/bf16 = {ratio:.3f}x (target 1.35x)")
     print(json.dumps({
@@ -277,6 +397,8 @@ def main():
                    "batch": args.batch, "config": cfg_name,
                    "segmented": args.segmented,
                    "host_rulebook_ms": round(host_ms, 3),
+                   **({"fps_streaming_int8": round(fps_streaming, 3)}
+                      if fps_streaming is not None else {}),
                    "timing": "dispatch" if args.dispatch_timing
                              else "device_loop"},
     }))

@@ -21,14 +21,18 @@ Layer map (mirrors SURVEY.md §1, re-architected TPU-first):
 
 __version__ = "0.1.0"
 
-# Under the axon TPU tunnel, JAX_PLATFORMS env alone is ignored; honor an
-# explicit Q3D_PLATFORM pin via jax.config (must run before backend init).
+# Under the axon TPU tunnel, the JAX_PLATFORMS env var alone is ignored;
+# honor it (and the explicit Q3D_PLATFORM pin) via jax.config, which must
+# run before backend init.  Makes `JAX_PLATFORMS=cpu python tools/test.py`
+# actually run on CPU.
 import os as _os  # noqa: E402
 
-if _os.environ.get("Q3D_PLATFORM"):
+_platform = _os.environ.get("Q3D_PLATFORM") or _os.environ.get(
+    "JAX_PLATFORMS")
+if _platform:
     import jax as _jax
 
-    _jax.config.update("jax_platforms", _os.environ["Q3D_PLATFORM"])
+    _jax.config.update("jax_platforms", _platform)
 
 # flax converts dict-valued module fields (our EDict configs) to FrozenDict;
 # give FrozenDict the same attribute-style access so cfg.MODEL.VFE works

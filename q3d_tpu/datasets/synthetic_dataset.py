@@ -187,14 +187,23 @@ class SyntheticDataset(DatasetTemplate):
         return annos
 
     def evaluation(self, det_annos, class_names, **kwargs):
-        """Simple mAP-style score vs the generative GT (BEV IoU 0.5)."""
-        from ..utils.simple_eval import simple_map
+        """Score vs the generative GT.  EVAL_METRIC 'nuscenes' runs the full
+        nuScenes-protocol evaluator (NDS/mAP with distance thresholds + TP
+        errors — the reference's accuracy oracle, SURVEY §4); default is the
+        quick BEV-IoU mAP."""
         gts = []
         for anno in det_annos:
             rng = np.random.RandomState(self.base_seed + int(anno["frame_id"]))
             _, gt_boxes, gt_names = make_scene(rng, self.point_cloud_range,
                                                **self.scene_kwargs)
             gts.append({"boxes": gt_boxes, "names": gt_names})
+        if kwargs.get("eval_metric") == "nuscenes":
+            from .nuscenes.nuscenes_eval import nuscenes_eval
+            dets = [{"boxes": np.asarray(d["boxes_lidar"]),
+                     "names": np.asarray(d["name"]),
+                     "scores": np.asarray(d["score"])} for d in det_annos]
+            return nuscenes_eval(dets, gts, list(class_names))
+        from ..utils.simple_eval import simple_map
         ap_dict = simple_map(det_annos, gts, class_names)
         result_str = "\n".join(f"{k}: {v:.4f}" for k, v in ap_dict.items())
         return result_str, ap_dict

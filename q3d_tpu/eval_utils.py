@@ -91,7 +91,9 @@ def eval_one_epoch(model, variables, dataloader, dataset, class_names, cfg,
         with open(result_dir / "result.pkl", "wb") as f:
             pickle.dump(det_annos, f)
 
-    result_str, result_dict = dataset.evaluation(det_annos, class_names)
+    result_str, result_dict = dataset.evaluation(
+        det_annos, class_names,
+        eval_metric=cfg.MODEL.POST_PROCESSING.get("EVAL_METRIC", "default"))
     if logger:
         logger.info(result_str)
     ret_dict.update(result_dict)

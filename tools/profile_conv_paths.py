@@ -98,6 +98,9 @@ def main():
         nxs = int(sp[-1])
         def _parse(c):
             parts = c.split(":")
+            if len(parts) > 2 and parts[2] != "u":
+                raise ValueError(f"unrecognized config suffix {parts[2]!r} "
+                                 f"in {c!r} (expected 'u')")
             return int(parts[0]), int(parts[1]), len(parts) > 2
         configs = ([_parse(c) for c in args.configs.split(",")]
                    if args.configs else [(args.bm, args.s, False)])
