@@ -19,7 +19,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("dataset", choices=["kitti", "nuscenes", "custom"])
+    parser.add_argument("dataset",
+                        choices=["kitti", "nuscenes", "waymo", "custom"])
     parser.add_argument("--cfg_file", required=True)
     parser.add_argument("--data_path", required=True)
     parser.add_argument("--save_path", default=None)
@@ -62,6 +63,22 @@ def main():
                                  root_path=Path(save_path) / args.version,
                                  training=True)
             out = create_groundtruth_database(ds, max_sweeps=max_sweeps)
+            print(f"gt database -> {out}")
+    elif args.dataset == "waymo":
+        # gated on waymo_open_dataset + tensorflow like the reference
+        from q3d_tpu.datasets.waymo.waymo_dataset import WaymoDataset
+        from q3d_tpu.datasets.waymo.waymo_infos import (
+            create_waymo_infos, create_groundtruth_database)
+        tag = cfg.get("PROCESSED_DATA_TAG", "waymo_processed_data")
+        outs = create_waymo_infos(
+            args.data_path, Path(save_path) / tag,
+            sampled_interval=int(cfg.get("SAMPLED_INTERVAL",
+                                         {}).get("train", 1)))
+        print("info pickles:", ", ".join(str(o) for o in outs))
+        if args.with_gt_database:
+            ds = WaymoDataset(dataset_cfg=cfg, class_names=None,
+                              root_path=args.data_path, training=True)
+            out = create_groundtruth_database(ds)
             print(f"gt database -> {out}")
     else:
         print("custom dataset: point/label files are consumed directly; "
