@@ -32,7 +32,11 @@ _platform = _os.environ.get("Q3D_PLATFORM") or _os.environ.get(
 if _platform:
     import jax as _jax
 
-    _jax.config.update("jax_platforms", _platform)
+    # pin only when nothing pinned it yet: an explicit in-process
+    # jax.config.update wins, and re-updating after backend init would tear
+    # down live backends (and any jax.distributed context)
+    if _jax.config.jax_platforms is None:
+        _jax.config.update("jax_platforms", _platform)
 
 # flax converts dict-valued module fields (our EDict configs) to FrozenDict;
 # give FrozenDict the same attribute-style access so cfg.MODEL.VFE works

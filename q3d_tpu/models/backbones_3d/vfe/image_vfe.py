@@ -8,8 +8,10 @@ samples, for every voxel center, the image feature at its projected pixel
 weighted by the depth bin its camera depth falls into.  Output is a dense
 (B, D, H, W, C) volume consumed by ``Conv2DCollapse``.
 
-Deviation: the reference's DDN is a pretrained DeepLabV3/ResNet-101; ours is
-a compact conv stack (configurable) — the lifting math is the parity point.
+Two depth nets: with an ``FFN.DDN`` config (the reference's schema) the
+full DeepLabV3/ResNet DDN runs (``backbones_image/ddn_deeplabv3.py``,
+torchvision-pretrained weights importable); otherwise a compact conv stack
+(CI-friendly).  The lifting math is shared.
 """
 
 from typing import Any, Tuple
@@ -43,14 +45,37 @@ class ImageVFE(nn.Module):
         d_min, d_max = cfg.get("D_RANGE", [2.0, 46.8])[:2]
         down = int(cfg.get("DOWNSAMPLE", 4))
 
-        x = imgs
-        for i, (c, s) in enumerate([(ch, 2), (ch, 2), (ch, 1)]):
-            x = Conv2d(c, 3, s, 1, use_bias=False, name=f"ffn_conv{i}")(x)
-            x = BatchNorm(name=f"ffn_norm{i}")(x, train)
-            x = relu(x)
-        depth_logits = Conv2d(d_bins, 1, name="depth_head")(x)
-        depth = jax.nn.softmax(depth_logits, axis=-1)   # (B, h, w, D)
-        feats = Conv2d(ch, 1, name="feat_head")(x)      # (B, h, w, C)
+        ffn_cfg = cfg.get("FFN", None)
+        if ffn_cfg is not None and ffn_cfg.get("DDN", None) is not None:
+            # reference DDN path: DeepLabV3 depth-distribution net + 1x1
+            # channel reduce (ffn/depth_ffn.py)
+            from ...backbones_image.ddn_deeplabv3 import DDNDeepLabV3
+            ddn_cfg = ffn_cfg.DDN
+            d_bins = int(ffn_cfg.get("DISCRETIZE",
+                                     {}).get("num_bins", d_bins))
+            out = DDNDeepLabV3(
+                num_classes=d_bins + 1,
+                backbone_name=ddn_cfg.get("BACKBONE_NAME", "ResNet101"),
+                pretrained=ddn_cfg.get("ARGS", {}).get(
+                    "pretrained_path", None) is not None,
+                name="ddn")(imgs, train)
+            # last bin = "beyond range" (reference frustum_to_voxel drops it)
+            depth = jax.nn.softmax(out["logits"], axis=-1)[..., :d_bins]
+            cr = cfg.FFN.get("CHANNEL_REDUCE", {})
+            ch = int(cr.get("out_channels", ch))
+            feats = Conv2d(ch, int(cr.get("kernel_size", 1)),
+                           use_bias=False, name="channel_reduce")(
+                out["features"])
+            feats = relu(BatchNorm(name="channel_reduce_norm")(feats, train))
+        else:
+            x = imgs
+            for i, (c, s) in enumerate([(ch, 2), (ch, 2), (ch, 1)]):
+                x = Conv2d(c, 3, s, 1, use_bias=False, name=f"ffn_conv{i}")(x)
+                x = BatchNorm(name=f"ffn_norm{i}")(x, train)
+                x = relu(x)
+            depth_logits = Conv2d(d_bins, 1, name="depth_head")(x)
+            depth = jax.nn.softmax(depth_logits, axis=-1)   # (B, h, w, D)
+            feats = Conv2d(ch, 1, name="feat_head")(x)      # (B, h, w, C)
 
         # voxel centers -> camera frame -> image plane
         nx, ny, nz = (int(g) for g in self.grid_size)
