@@ -336,7 +336,9 @@ def main():
     # amax) runs offline — it is part of quantization, not of inference.
     from q3d_tpu.quant.api import (quantize_model, collect_stats,
                                    compute_amax)
-    rules8 = int8_deploy_recipe(residency=True)
+    # quantize_first_conv: accuracy-validated extension over the reference
+    # recipe (test_accuracy_regression pins <=1% NDS drop with it on)
+    rules8 = int8_deploy_recipe(residency=True, quantize_first_conv=True)
     log("calibrating int8 deploy scales ...")
     vars8 = quantize_model(model, variables, rules8, batch16)
     vars8 = collect_stats(model, vars8, rules8, [batch16] * 2,

@@ -210,6 +210,8 @@ class CenterHead(nn.Module):
         for idx, pred in enumerate(pred_dicts):
             ids = jnp.asarray(self.class_id_mapping_each_head[idx])
 
+            approx = bool(pp.get("USE_APPROX_TOPK", True))
+
             def decode_one(hm, center, center_z, dim, rot, vel, ids=ids):
                 d = centernet_utils.decode_bbox_from_heatmap(
                     hm, rot[..., 0:1], rot[..., 1:2],
@@ -217,7 +219,8 @@ class CenterHead(nn.Module):
                     self.point_cloud_range, self.voxel_size,
                     self.feature_map_stride, vel=vel,
                     K=pp.MAX_OBJ_PER_SAMPLE, score_thresh=pp.SCORE_THRESH,
-                    post_center_limit_range=post_range)
+                    post_center_limit_range=post_range,
+                    approx_topk=approx)
                 return d["boxes"], d["scores"], ids[d["labels"]] + 1, d["valid"]
 
             if "vel" in pred:

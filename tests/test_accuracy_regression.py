@@ -65,12 +65,12 @@ def test_fp32_model_actually_detects(trained):
 
 def test_int8_deploy_nds_drop_within_1pct(trained):
     """North star (BASELINE.md): INT8 end-to-end with <= 1% relative NDS
-    drop vs FP32."""
+    drop vs FP32 — with the bench recipe (first conv quantized too)."""
     from q3d_tpu.quant.api import (int8_deploy_recipe, quantize_model,
                                    collect_stats, compute_amax)
     cfg, dataset, loader, model, variables, batch = trained
     fp = _eval(cfg, dataset, loader, model, variables)
-    rules = int8_deploy_recipe(residency=True)
+    rules = int8_deploy_recipe(residency=True, quantize_first_conv=True)
     v8 = quantize_model(model, variables, rules, batch)
     v8 = collect_stats(model, v8, rules, [batch] * 2, num_batches=2,
                        loader_to_device=lambda b: b)
