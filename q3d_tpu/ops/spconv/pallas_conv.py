@@ -173,7 +173,12 @@ def _kernel_v3(ss_ref, anchor_ref, code_ref, f3_ref, w_ref, out_ref, *,
     uncond_b: compute the span-B contribution unconditionally (masked
     one-hot) instead of behind a lax.cond — trades a second matmul on every
     group for branch-free straight-line code the Mosaic pipeline can
-    software-pipeline."""
+    software-pipeline.
+
+    The one-hot construction (an (BM, S) iota-vs-anchor compare per group)
+    is the kernel's VPU-bound floor at narrow channels; int16 compares
+    would pack lanes 2x denser but v5e Mosaic has no 16-bit iota, so the
+    compares stay int32."""
     i = pl.program_id(0)
     iota = jax.lax.broadcasted_iota(jnp.int32, (bm, s), 1)
     acc = None
