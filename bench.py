@@ -331,7 +331,12 @@ def main():
             "frames/s")
         return dt
 
-    dt16 = max(measure(None, variables, "bf16"), host_ms / 1e3)
+    # headline = device-loop inference time (the reference's 35% claim is
+    # pure GPU inference time too); the host rulebook pipeline is MEASURED
+    # separately as fps_streaming_int8 (overlapped builds), not folded in
+    # as a max() clamp — on this 1-core box a contended host build would
+    # otherwise dominate both modes and erase the dtype signal entirely
+    dt16 = measure(None, variables, "bf16")
     fps16 = args.batch / dt16
 
     # int8 deployment: static scales + int8 residency across the sparse
@@ -348,7 +353,7 @@ def main():
                           num_batches=2, loader_to_device=lambda b: b)
     vars8 = compute_amax(vars8, method="max")
     vars8 = jax.device_put(vars8)
-    dt8 = max(measure(rules8, vars8, "int8"), host_ms / 1e3)
+    dt8 = measure(rules8, vars8, "int8")
     fps8 = args.batch / dt8
 
     fps_streaming = None

@@ -19,19 +19,23 @@ from .modules import subm_cache_key, down_cache_key, down_out_spatial
 from .pallas_conv import choose_block
 
 
-def _prep_or_none(native, chunk, capacity, cin):
-    """One-hot-kernel prep for kernel-routed widths (cin >= 16, matching
-    pallas_conv.gather_conv_chunked_fast's routing), with the shared
-    (bm, s) policy so host-built preps are exactly what the device kernel
-    expects.  Returns (bm, s, prep) — the (bm, s) goes into the cache KEY
-    (``prep_key``), so a consumer whose policy choice differs (e.g. a plan
-    built with the wrong cin) safely misses instead of mixing span grids."""
+def _preps_for(native, chunk, capacity, cin):
+    """One-hot-kernel preps for kernel-routed widths (cin >= 16, matching
+    pallas_conv.gather_conv_chunked_fast's routing).  The block policy is
+    per-DTYPE (int8 prefers bigger blocks than bf16 — choose_block), so one
+    prep is built per distinct (bm, s) the policies produce; each lands
+    under its own ``prep_key``, and a consumer whose policy choice differs
+    safely misses instead of mixing span grids.  Returns a list of
+    (bm, s, prep)."""
     if cin < 16:
-        return None
-    bm, s, _ = choose_block(capacity, cin)   # prep independent of uncond
-    if capacity < s or capacity < bm:
-        return None
-    return bm, s, native.chunk_prep_spans(chunk, capacity, bm=bm, s=s)
+        return []
+    shapes = set()
+    for dtype in (None, "int8"):
+        bm, s, _ = choose_block(capacity, cin, dtype)  # prep indep of uncond
+        if capacity >= s and capacity >= bm:
+            shapes.add((bm, s))
+    return [(bm, s, native.chunk_prep_spans(chunk, capacity, bm=bm, s=s))
+            for bm, s in sorted(shapes)]
 
 
 def prep_key(bm, s, cache_key):
@@ -204,12 +208,12 @@ def build_rulebooks(plan, voxel_coords, sparse_shape):
                 # chunked anchor+code books feed the engine's chunk cache
                 # directly (3x less host work + transfer than (N, 27))
                 chunk = native.subm_chunk_rulebook(coords, spatial, k, dil)
-                prep = _prep_or_none(native, chunk, coords.shape[0], cin)
+                preps = _preps_for(native, chunk, coords.shape[0], cin)
                 for kk in ikeys:
                     ck = subm_cache_key(kk, spatial, k, dil)
                     out["chunk|" + ck] = chunk
-                    if prep is not None:
-                        out[prep_key(prep[0], prep[1], ck)] = prep[2]
+                    for bm, s, prep in preps:
+                        out[prep_key(bm, s, ck)] = prep
             else:
                 gather = native.subm_rulebook(coords, spatial, k, dil)
                 for kk in ikeys:
@@ -223,9 +227,9 @@ def build_rulebooks(plan, voxel_coords, sparse_shape):
                 ck = down_cache_key(spatial, k, s, p, cap_param)
                 # stored len-2: out_spatial is static math device-side
                 out["chunkdown|" + ck] = (oc, chunk)
-                prep = _prep_or_none(native, chunk, coords.shape[0], cin)
-                if prep is not None:
-                    out[prep_key(prep[0], prep[1], ck)] = prep[2]
+                for bm, ss, prep in _preps_for(native, chunk,
+                                               coords.shape[0], cin):
+                    out[prep_key(bm, ss, ck)] = prep
             else:
                 oc, gather, out_spatial = native.downsample_rulebook(
                     coords, spatial, k, s, p, cap)
@@ -277,22 +281,22 @@ def build_for_backbone(backbone_name, model_cfg, grid_size, voxel_coords,
     ns = [n, cap_list[0], cap_list[1], cap_list[2]]
     chans = [16, 32, 64, 128]
     for stage in range(4):
-        prep = _prep_or_none(native, books["subm"][stage], ns[stage],
-                             chans[stage])
+        preps = _preps_for(native, books["subm"][stage], ns[stage],
+                           chans[stage])
         for kk in [ikeys[stage]] + (_RES_KEYS.get(ikeys[stage], [])
                                     if res else []):
             ck = subm_cache_key(kk, spatial, 3, 1)
             out["chunk|" + ck] = books["subm"][stage]
-            if prep is not None:
-                out[prep_key(prep[0], prep[1], ck)] = prep[2]
+            for bm, ss, prep in preps:
+                out[prep_key(bm, ss, ck)] = prep
         if stage == 3:
             break
         oc, chunk = books["down"][stage]
         dk = down_cache_key(spatial, 3, 2, pads[stage], cap_list[stage])
         out["chunkdown|" + dk] = (oc, chunk)
-        dprep = _prep_or_none(native, chunk, ns[stage], chans[stage])
-        if dprep is not None:
-            out[prep_key(dprep[0], dprep[1], dk)] = dprep[2]
+        for bm, ss, prep in _preps_for(native, chunk, ns[stage],
+                                       chans[stage]):
+            out[prep_key(bm, ss, dk)] = prep
         spatial = down_out_spatial(spatial, 3, 2, pads[stage])
     return out
 

@@ -206,15 +206,17 @@ def _is_host_key(rulebook_cache, key):
     return key in rulebook_cache.get("__host_keys__", ())
 
 
-def _get_chunk_prep(chunk, capacity, cin, rulebook_cache, cache_key):
+def _get_chunk_prep(chunk, capacity, cin, rulebook_cache, cache_key,
+                    dtype=None):
     """Cached pallas_conv.prepare_chunk for a rulebook (anchors/codes/
     span starts are pure functions of the chunk table).  Returns None when
     the one-hot kernel cannot apply, letting the wrapper fall back without
-    computing spans.  (bm, s) follow ``pallas_conv.choose_block`` — the same
-    policy the host planner uses when it pre-builds preps in C++, and the
-    cache key embeds (bm, s) so a host prep built under a different policy
-    choice (e.g. a plan with a stale cin) is missed, not misused."""
-    bm, s, _ = pallas_conv.choose_block(capacity, cin)
+    computing spans.  (bm, s) follow ``pallas_conv.choose_block`` for the
+    EXECUTION dtype — the same per-dtype policy the host planner builds
+    preps for in C++, and the cache key embeds (bm, s) so a host prep built
+    under a different policy choice (e.g. a plan with a stale cin) is
+    missed, not misused."""
+    bm, s, _ = pallas_conv.choose_block(capacity, cin, dtype)
     if not pallas_conv.onehot_conv_available(capacity, 0, s, bm):
         return None
     key = f"prep|{bm}x{s}|{cache_key}"
@@ -282,8 +284,8 @@ class _SubMConv(_SparseConvBase):
         if chunk is not None:
             host_books = _is_host_key(rulebook_cache, "chunk|" + cache_key)
             prep = _get_chunk_prep(chunk, st.capacity, st.num_channels,
-                                   rulebook_cache,
-                                   cache_key) if host_books else None
+                                   rulebook_cache, cache_key,
+                                   dtype=feats.dtype) if host_books else None
             out = pallas_conv.gather_conv_chunked_fast(
                 feats, st.keys(), st.indices[:, -1],
                 int(st.spatial_shape[-1]), chunk, w,
@@ -357,8 +359,8 @@ class _SparseConv(_SparseConvBase):
             host_books = _is_host_key(rulebook_cache,
                                       "chunkdown|" + cache_key)
             prep = _get_chunk_prep(chunk, st.capacity, st.num_channels,
-                                   rulebook_cache,
-                                   cache_key) if host_books else None
+                                   rulebook_cache, cache_key,
+                                   dtype=feats.dtype) if host_books else None
             out = pallas_conv.gather_conv_chunked_fast(
                 feats, st.keys(), st.indices[:, -1],
                 int(st.spatial_shape[-1]), chunk, w,

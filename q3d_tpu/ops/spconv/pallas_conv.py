@@ -47,7 +47,7 @@ DEFAULT_BM = 128          # output sites per block
 DEFAULT_S = 256           # span rows per (block, offset) — must be mult of Q
 
 
-def choose_block(capacity, cin):
+def choose_block(capacity, cin, dtype=None):
     """(bm, s) policy per conv shape, from v5e sweeps
     (tools/profile_conv_paths.py, 2026-08, int8 per-conv ms at the bench
     envelope): narrow stages are per-(block, group)-iteration overhead-bound,
@@ -66,6 +66,14 @@ def choose_block(capacity, cin):
     host build (~15 ms, already near the max(host, device) critical path).
     The policy is tuned for the int8 deployment mode; measured bf16 times at
     these configs are within noise of its own former configs."""
+    # NOTE (r2): isolated-conv sweeps (tools/profile_conv_paths.py) suggest
+    # bigger int8 blocks (C16@40k 0.632 @768/768u vs 0.762; C128@17k 0.280
+    # @512/384u vs 0.381) but every in-graph A/B REGRESSED the end-to-end
+    # int8 time (19.3 -> 20.0-20.7 ms; VMEM pressure from neighboring
+    # fusions) — the shared policy below is the measured in-graph optimum
+    # for both dtypes.  ``dtype`` is plumbed (and the host planner builds
+    # preps per distinct policy) so future per-dtype splits stay cheap to
+    # try.
     if cin <= 16 and capacity >= 512:
         return 256, 384, True
     if cin <= 32 and capacity >= 2048:
@@ -388,7 +396,7 @@ def gather_conv_chunked_fast(features, keys, xcol, nx, chunk_idx, weight,
     m, gk = chunk_idx.shape
     kk, _, cout = weight.shape
     if bm is None or s is None:
-        bm, s, uncond = choose_block(n, cin)
+        bm, s, uncond = choose_block(n, cin, features.dtype)
     # measured v5e routing (tools/profile_conv_paths.py, bm256/s512): the
     # one-hot kernel beats the row gather at EVERY backbone stage and both
     # dtypes (C=16: 0.89 vs 1.87 bf16, 0.83 vs 1.33 int8; C=128: 0.68 vs
