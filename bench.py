@@ -249,8 +249,10 @@ def time_mode(runner, variables, batch, iters, warmup=2):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--size", default="bench", choices=["bench", "tiny"])
+    ap.add_argument("--size", default="ref", choices=["ref", "bench", "tiny"])
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--reps", type=int, default=3,
+                    help="median-of-N repetitions of each timing mode")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--segmented", action="store_true")
     ap.add_argument("--host-rulebooks", action="store_true",
@@ -269,8 +271,9 @@ def main():
     from q3d_tpu.quant.api import int8_deploy_recipe
     from q3d_tpu.quant.rules import quant_rules_scope
 
-    cfg_name = ("centerpoint_bench.yaml" if args.size == "bench"
-                else "centerpoint_tiny.yaml")
+    cfg_name = {"ref": "centerpoint_ref.yaml",        # reference 160k/0.075m
+                "bench": "centerpoint_bench.yaml",    # 40k/0.1m envelope
+                "tiny": "centerpoint_tiny.yaml"}[args.size]
     log(f"devices: {jax.devices()}  size={args.size} "
         f"segmented={args.segmented}")
     cfg, model, raw = build(cfg_name, args.batch)
@@ -320,15 +323,23 @@ def main():
     log(f"init done in {time.perf_counter() - t0:.1f}s")
 
     def measure(rules, mode_vars, tag):
+        """Median of --reps repetitions (VERDICT r2: run-to-run noise was
+        the size of a round's progress; single runs are not a headline)."""
+        import statistics
         log(f"timing {tag} ...")
+        reps = []
         if args.dispatch_timing:
             runner = _make_runner(model, rules, args.segmented)
-            dt = time_mode(runner, mode_vars, batch16, args.iters)
+            for _ in range(args.reps):
+                reps.append(time_mode(runner, mode_vars, batch16, args.iters))
         else:
             jfn = _make_loop_runner(model, rules)
-            dt = time_loop(jfn, mode_vars, batch16, args.iters)
-        log(f"{tag}: {dt * 1e3:.2f} ms/batch -> {args.batch / dt:.2f} "
-            "frames/s")
+            for _ in range(args.reps):
+                reps.append(time_loop(jfn, mode_vars, batch16, args.iters))
+        dt = statistics.median(reps)
+        log(f"{tag}: {dt * 1e3:.2f} ms/batch (reps "
+            f"{[round(r * 1e3, 2) for r in reps]}) -> "
+            f"{args.batch / dt:.2f} frames/s")
         return dt
 
     # headline = device-loop inference time (the reference's 35% claim is
@@ -356,14 +367,16 @@ def main():
     dt8 = measure(rules8, vars8, "int8")
     fps8 = args.batch / dt8
 
-    fps_streaming = None
+    fps_streaming = fps_streaming16 = None
     if args.host_rulebooks and "rulebooks" in batch16 and args.batch == 1:
-        # VERDICT r1 #4: prove the host/device pipelining end-to-end on N
-        # DISTINCT frames (per-frame rulebook rebuild on a worker thread)
+        # VERDICT r1 #4 / r2 #2: prove the host/device pipelining end-to-end
+        # on N DISTINCT frames for BOTH dtypes — int8-vs-bf16 END-TO-END is
+        # the honest serving ratio, reported alongside the device-loop one
         from q3d_tpu.config import cfg_from_yaml_file, EDict
         from q3d_tpu.datasets import build_dataloader
         from q3d_tpu.ops.spconv import host_planner
-        n_frames, window = 16, 4
+        # ref-envelope rulebooks are ~4x bigger; stage fewer windows
+        n_frames, window = (8, 4) if args.size == "ref" else (16, 4)
         _, s_loader, _ = build_dataloader(
             cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=1, training=False)
         raws = []
@@ -387,12 +400,21 @@ def main():
                 cfg.MODEL.BACKBONE_3D.NAME, cfg.MODEL.BACKBONE_3D,
                 model.dataset.grid_size, raws[i]["voxel_coords"], B * V)
 
+        import statistics
         log("timing int8 streaming (host builds overlapped) ...")
         wfn = _make_window_runner(model, rules8)
-        fps_streaming = time_streaming(wfn, vars8, frames, build_books_for,
-                                       window=window)
+        fps_streaming = statistics.median(
+            time_streaming(wfn, vars8, frames, build_books_for,
+                           window=window) for _ in range(args.reps))
         log(f"int8 streaming: {fps_streaming:.2f} frames/s end-to-end "
             f"(device loop: {fps8:.2f})")
+        log("timing bf16 streaming (host builds overlapped) ...")
+        wfn16 = _make_window_runner(model, None)
+        fps_streaming16 = statistics.median(
+            time_streaming(wfn16, variables, frames, build_books_for,
+                           window=window) for _ in range(args.reps))
+        log(f"bf16 streaming: {fps_streaming16:.2f} frames/s end-to-end "
+            f"(device loop: {fps16:.2f})")
 
     ratio = fps8 / fps16
     log(f"speedup int8/bf16 = {ratio:.3f}x (target 1.35x)")
@@ -409,6 +431,9 @@ def main():
                    "host_rulebook_ms": round(host_ms, 3),
                    **({"fps_streaming_int8": round(fps_streaming, 3)}
                       if fps_streaming is not None else {}),
+                   **({"fps_streaming_bf16": round(fps_streaming16, 3),
+                       "e2e_ratio": round(fps_streaming / fps_streaming16, 4)}
+                      if fps_streaming16 is not None else {}),
                    "timing": "dispatch" if args.dispatch_timing
                              else "device_loop"},
     }))
@@ -420,6 +445,8 @@ def _ladder():
     # max(host build, device) models the 1-core host of this box — a
     # many-core serving host hides the build entirely), then device-only
     attempts = [
+        ["--size", "ref", "--host-rulebooks", "--iters", "10"],
+        ["--size", "ref", "--iters", "10"],
         ["--size", "bench", "--host-rulebooks", "--iters", "20"],
         ["--size", "bench", "--iters", "20"],
         ["--size", "tiny", "--iters", "50"],

@@ -134,10 +134,14 @@ def d3_box_overlap(gt_boxes7, dt_boxes7):
 
 def _compute_statistics(overlaps, gt_anno, dt_anno, ignored_gt, ignored_dt,
                         dc_bboxes, metric, min_overlap, thresh=0.0,
-                        compute_fp=False):
+                        compute_fp=False, compute_aos=False):
     """Official compute_statistics_jit logic for one frame.
 
-    overlaps: (num_gt, num_dt). Returns (tp, fp, fn, thresholds-of-TPs)."""
+    overlaps: (num_gt, num_dt). Returns (tp, fp, fn, similarity,
+    thresholds-of-TPs); ``similarity`` is the AOS numerator
+    sum((1+cos(gt_alpha - dt_alpha))/2) over TP pairs (reference
+    eval.py:168-304 thread alpha through the same matching loop), or -1
+    when compute_aos is off."""
     dt_scores = dt_anno["score"]
     num_gt, num_dt = overlaps.shape
     assigned = np.zeros(num_dt, bool)
@@ -146,6 +150,7 @@ def _compute_statistics(overlaps, gt_anno, dt_anno, ignored_gt, ignored_dt,
         ignored_threshold = dt_scores < thresh
     tp = fp = fn = 0
     thresholds = []
+    deltas = []
     for i in range(num_gt):
         if ignored_gt[i] == -1:
             continue
@@ -181,6 +186,8 @@ def _compute_statistics(overlaps, gt_anno, dt_anno, ignored_gt, ignored_dt,
         elif valid_detection != -np.inf:
             tp += 1
             thresholds.append(dt_scores[det_idx])
+            if compute_aos:
+                deltas.append(gt_anno["alpha"][i] - dt_anno["alpha"][det_idx])
             assigned[det_idx] = True
     if compute_fp:
         for j in range(num_dt):
@@ -203,7 +210,11 @@ def _compute_statistics(overlaps, gt_anno, dt_anno, ignored_gt, ignored_dt,
                         assigned[j] = True
                         nstuff += 1
             fp -= nstuff
-    return tp, fp, fn, thresholds
+    similarity = -1.0
+    if compute_aos:
+        similarity = float(np.sum((1.0 + np.cos(np.asarray(deltas))) / 2.0)) \
+            if deltas else 0.0
+    return tp, fp, fn, similarity, thresholds
 
 
 def _get_thresholds(scores, num_gt):
@@ -222,8 +233,9 @@ def _get_thresholds(scores, num_gt):
 
 
 def eval_class(gt_annos, dt_annos, current_class, difficulty, metric,
-               min_overlap):
-    """AP_R40 for one (class, difficulty, metric, min_overlap)."""
+               min_overlap, compute_aos=False):
+    """AP_R40 (and optionally AOS_R40, bbox metric only) for one
+    (class, difficulty, metric, min_overlap)."""
     frames = []
     total_valid_gt = 0
     for gt, dt in zip(gt_annos, dt_annos):
@@ -239,32 +251,41 @@ def eval_class(gt_annos, dt_annos, current_class, difficulty, metric,
                 else d3_box_overlap(g7, d7)
         frames.append((ov, gt, dt, ig_gt, ig_dt, dc, num_valid_gt))
     if total_valid_gt == 0:
-        return 0.0, np.zeros(N_SAMPLE_PTS)
+        return (0.0, np.zeros(N_SAMPLE_PTS), 0.0) if compute_aos \
+            else (0.0, np.zeros(N_SAMPLE_PTS))
 
     all_thresholds = []
     for ov, gt, dt, ig_gt, ig_dt, dc, nv in frames:
-        _, _, _, th = _compute_statistics(ov, gt, dt, ig_gt, ig_dt, dc,
-                                          metric, min_overlap)
+        *_, th = _compute_statistics(ov, gt, dt, ig_gt, ig_dt, dc,
+                                     metric, min_overlap)
         all_thresholds += th
     thresholds = _get_thresholds(np.asarray(all_thresholds), total_valid_gt)
     if len(thresholds) == 0:
-        return 0.0, np.zeros(N_SAMPLE_PTS)
+        return (0.0, np.zeros(N_SAMPLE_PTS), 0.0) if compute_aos \
+            else (0.0, np.zeros(N_SAMPLE_PTS))
 
-    pr = np.zeros((len(thresholds), 3))
+    pr = np.zeros((len(thresholds), 4))     # tp, fp, fn, similarity
     for ti, t in enumerate(thresholds):
         for ov, gt, dt, ig_gt, ig_dt, dc, nv in frames:
-            tp, fp, fn, _ = _compute_statistics(
+            tp, fp, fn, sim, _ = _compute_statistics(
                 ov, gt, dt, ig_gt, ig_dt, dc, metric, min_overlap,
-                thresh=t, compute_fp=True)
-            pr[ti] += (tp, fp, fn)
+                thresh=t, compute_fp=True, compute_aos=compute_aos)
+            pr[ti] += (tp, fp, fn, max(sim, 0.0))
     precision = np.zeros(N_SAMPLE_PTS)
+    aos_curve = np.zeros(N_SAMPLE_PTS)
     for ti in range(len(thresholds)):
-        p = pr[ti, 0] / max(pr[ti, 0] + pr[ti, 1], 1e-9)
-        precision[ti] = p
+        denom = max(pr[ti, 0] + pr[ti, 1], 1e-9)
+        precision[ti] = pr[ti, 0] / denom
+        if compute_aos:
+            aos_curve[ti] = pr[ti, 3] / denom
     # right-max interpolation
     for i in range(len(precision) - 1, 0, -1):
         precision[i - 1] = max(precision[i - 1], precision[i])
+        aos_curve[i - 1] = max(aos_curve[i - 1], aos_curve[i])
     ap = precision[1:].sum() / (N_SAMPLE_PTS - 1) * 100.0
+    if compute_aos:
+        aos = aos_curve[1:].sum() / (N_SAMPLE_PTS - 1) * 100.0
+        return ap, precision, aos
     return ap, precision
 
 
@@ -282,6 +303,12 @@ MIN_OVERLAPS = {
 def get_official_eval_result(gt_annos, dt_annos, current_classes):
     if isinstance(current_classes, str):
         current_classes = [current_classes]
+    # AOS requires predicted observation angles (reference gates on a dt
+    # anno having alpha[0] != -10 — eval.py get_official_eval_result)
+    def _has_alpha(dt):
+        a = np.asarray(dt.get("alpha", np.zeros(0)))
+        return a.size > 0 and float(a.flat[0]) != -10
+    compute_aos = any(_has_alpha(dt) for dt in dt_annos)
     result_str = ""
     result_dict = {}
     diff_names = ["easy", "moderate", "hard"]
@@ -289,12 +316,22 @@ def get_official_eval_result(gt_annos, dt_annos, current_classes):
         cls_idx = CLASS_NAMES.index(cls_name)
         mo = MIN_OVERLAPS[cls_name]
         for metric, mname in [(0, "bbox"), (1, "bev"), (2, "3d")]:
-            aps = []
+            aps, aoss = [], []
             for d in range(3):
-                ap, _ = eval_class(gt_annos, dt_annos, cls_idx, d, metric,
-                                   mo[metric])
+                if metric == 0 and compute_aos:
+                    ap, _, aos = eval_class(gt_annos, dt_annos, cls_idx, d,
+                                            metric, mo[metric],
+                                            compute_aos=True)
+                    aoss.append(aos)
+                    result_dict[f"{cls_name}_aos/{diff_names[d]}_R40"] = aos
+                else:
+                    ap, _ = eval_class(gt_annos, dt_annos, cls_idx, d,
+                                       metric, mo[metric])
                 aps.append(ap)
                 result_dict[f"{cls_name}_{mname}/{diff_names[d]}_R40"] = ap
             result_str += (f"{cls_name} AP_R40@{mo[metric]:.2f} ({mname}): "
                            f"{aps[0]:.4f}, {aps[1]:.4f}, {aps[2]:.4f}\n")
+            if aoss:
+                result_str += (f"{cls_name} AOS_R40: "
+                               f"{aoss[0]:.4f}, {aoss[1]:.4f}, {aoss[2]:.4f}\n")
     return result_str, result_dict

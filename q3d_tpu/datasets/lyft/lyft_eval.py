@@ -23,17 +23,6 @@ import numpy as np
 DEFAULT_IOU_THRESHOLDS = tuple(np.arange(0.5, 1.0, 0.05).round(2))
 
 
-def _iou3d(gt_boxes, pred_box):
-    """IoU of one predicted box against (N, 7) gts (rotated 3D)."""
-    import jax.numpy as jnp
-    from ...ops.iou3d_nms.iou3d_nms_utils import boxes_iou3d
-    if len(gt_boxes) == 0:
-        return np.zeros(0)
-    return np.asarray(boxes_iou3d(
-        jnp.asarray(gt_boxes, jnp.float32),
-        jnp.asarray(pred_box[None, :7], jnp.float32))[:, 0], np.float64)
-
-
 def _iou3d_matrix(gt_boxes, pred_boxes):
     import jax.numpy as jnp
     from ...ops.iou3d_nms.iou3d_nms_utils import boxes_iou3d
@@ -72,18 +61,31 @@ def recall_precision(gt, predictions, iou_threshold_list):
     image_gts = {k: np.stack(v) for k, v in image_gts.items()}
     gt_checked = {k: np.zeros((len(v), len(iou_threshold_list)))
                   for k, v in image_gts.items()}
-    # per-frame IoU matrices computed once (the reference recomputes per
-    # prediction; one batched rotated-IoU per frame is equivalent + faster)
+    # per-frame IoU matrices computed ONCE per frame in a single batched
+    # rotated-IoU launch (the reference recomputes per prediction); each
+    # prediction then just indexes its column
     preds = sorted(predictions, key=lambda x: x["score"], reverse=True)
+    pred_idx_by_token = {}
+    for pi, pred in enumerate(preds):
+        pred_idx_by_token.setdefault(pred["sample_token"], []).append(pi)
+    overlap_col = {}
+    for token, pis in pred_idx_by_token.items():
+        gts = image_gts.get(token)
+        if gts is None or len(gts) == 0:
+            continue
+        pb = np.stack([np.asarray(preds[pi]["box"], np.float64)[:7]
+                       for pi in pis])
+        mat = _iou3d_matrix(gts, pb)                 # (N_gt, N_pred_frame)
+        for ci, pi in enumerate(pis):
+            overlap_col[pi] = mat[:, ci]
     tp = np.zeros((len(preds), len(iou_threshold_list)))
     fp = np.zeros((len(preds), len(iou_threshold_list)))
     for pi, pred in enumerate(preds):
         token = pred["sample_token"]
-        gts = image_gts.get(token)
-        if gts is None or len(gts) == 0:
+        overlaps = overlap_col.get(pi)
+        if overlaps is None:
             fp[pi, :] = 1.0
             continue
-        overlaps = _iou3d(gts, np.asarray(pred["box"], np.float64))
         jmax = int(np.argmax(overlaps))
         max_overlap = overlaps[jmax]
         checked = gt_checked[token]

@@ -138,7 +138,10 @@ class SyntheticDataset(DatasetTemplate):
             jit = rng.normal(0, 0.15, (k, 7)).astype(np.float32)
             jit[:, 3:6] = np.abs(jit[:, 3:6]) * 0.3
             roi_boxes[i, :k, :7] = boxes_i[:k] + jit
-            roi_boxes[i, :k, 7:9] = vel[:k]
+            # dims 7:9 = per-backward-frame displacement, added VERBATIM by
+            # generate_trajectory's propagation (frame i -> i+1 is 0.1 s
+            # further into the past), matching the reference's convention
+            roi_boxes[i, :k, 7:9] = -0.1 * vel[:k]
             roi_scores[i, :k] = rng.uniform(0.5, 1.0, k)
             roi_labels[i, :k] = cls_ids[:k]
         points = np.concatenate(pts_list, axis=0)

@@ -24,6 +24,26 @@ import numpy as np
 from ...layers import Conv2d, BatchNorm, relu
 
 
+def depth_bin_index(depth, mode, d_min, d_max, num_bins):
+    """Continuous depth -> discretization bin index (float, unclipped).
+
+    Reference ``pcdet/utils/transform_utils.py:56`` bin_depths modes:
+    UD uniform, LID linearly-increasing (CaDDN default), SID log-spaced.
+    """
+    if mode == "UD":
+        bin_size = (d_max - d_min) / num_bins
+        return (depth - d_min) / bin_size
+    if mode == "LID":
+        bin_size = 2.0 * (d_max - d_min) / (num_bins * (1 + num_bins))
+        return -0.5 + 0.5 * jnp.sqrt(
+            jnp.clip(1.0 + 8.0 * (depth - d_min) / bin_size, 0.0, None))
+    if mode == "SID":
+        return num_bins * (jnp.log(1.0 + jnp.clip(depth, 1e-6, None))
+                           - np.log(1.0 + d_min)) \
+            / (np.log(1.0 + d_max) - np.log(1.0 + d_min))
+    raise NotImplementedError(f"DISCRETIZE mode {mode}")
+
+
 class ImageVFE(nn.Module):
     model_cfg: Any
     num_point_features: int
@@ -43,16 +63,22 @@ class ImageVFE(nn.Module):
         ch = int(cfg.get("NUM_CHANNELS", 32))
         d_bins = int(cfg.get("D_BINS", 48))
         d_min, d_max = cfg.get("D_RANGE", [2.0, 46.8])[:2]
+        disc_mode = "UD"
         down = int(cfg.get("DOWNSAMPLE", 4))
 
         ffn_cfg = cfg.get("FFN", None)
         if ffn_cfg is not None and ffn_cfg.get("DDN", None) is not None:
             # reference DDN path: DeepLabV3 depth-distribution net + 1x1
-            # channel reduce (ffn/depth_ffn.py)
+            # channel reduce (ffn/depth_ffn.py); DISCRETIZE carries the
+            # binning spec (mode/num_bins/depth_min/depth_max —
+            # CaDDN.yaml:45-50, default LID)
             from ...backbones_image.ddn_deeplabv3 import DDNDeepLabV3
             ddn_cfg = ffn_cfg.DDN
-            d_bins = int(ffn_cfg.get("DISCRETIZE",
-                                     {}).get("num_bins", d_bins))
+            disc = ffn_cfg.get("DISCRETIZE", {})
+            d_bins = int(disc.get("num_bins", d_bins))
+            d_min = float(disc.get("depth_min", d_min))
+            d_max = float(disc.get("depth_max", d_max))
+            disc_mode = str(disc.get("mode", "LID"))
             out = DDNDeepLabV3(
                 num_classes=d_bins + 1,
                 backbone_name=ddn_cfg.get("BACKBONE_NAME", "ResNet101"),
@@ -131,9 +157,11 @@ class ImageVFE(nn.Module):
 
         f_sampled = sample(feats, u_c, v_c)                 # (B,nx,ny,nz,C)
         d_sampled = sample(depth, u_c, v_c)                 # (B,nx,ny,nz,D)
-        # depth-bin weight at the voxel's camera depth (LID binning)
-        bin_idx = jnp.clip(((depth_cam - d_min) / (d_max - d_min)
-                            * d_bins).astype(jnp.int32), 0, d_bins - 1)
+        # depth-bin weight at the voxel's camera depth (DISCRETIZE mode:
+        # UD for the compact net, LID default on the reference DDN path)
+        bin_idx = jnp.clip(
+            depth_bin_index(depth_cam, disc_mode, d_min, d_max,
+                            d_bins).astype(jnp.int32), 0, d_bins - 1)
         w_depth = jnp.take_along_axis(d_sampled, bin_idx[..., None],
                                       axis=-1)[..., 0]
         vol = f_sampled * w_depth[..., None] * in_img[..., None]

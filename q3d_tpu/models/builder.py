@@ -18,6 +18,7 @@ def _vfe_registry():
         "PillarVFE": vfe.PillarVFE,
         "DynamicMeanVFE": vfe.DynamicMeanVFE,
         "DynamicPillarVFE": vfe.DynamicPillarVFE,
+        "DynamicVoxelVFE": vfe.DynamicVoxelVFE,
         "ImageVFE": vfe.ImageVFE,
     }
 
@@ -65,13 +66,22 @@ def build_vfe(cfg, info, dataset):
     cls = _vfe_registry()[cfg.NAME]
     kwargs = dict(model_cfg=cfg,
                   num_point_features=info["num_rawpoint_features"])
-    if cfg.NAME in ("PillarVFE", "DynamicMeanVFE", "DynamicPillarVFE", "ImageVFE"):
+    if cfg.NAME in ("PillarVFE", "DynamicMeanVFE", "DynamicPillarVFE",
+                    "DynamicVoxelVFE", "ImageVFE"):
         kwargs.update(voxel_size=tuple(dataset.voxel_size),
                       point_cloud_range=tuple(dataset.point_cloud_range))
-    if cfg.NAME in ("DynamicMeanVFE", "DynamicPillarVFE", "ImageVFE"):
+    if cfg.NAME in ("DynamicMeanVFE", "DynamicPillarVFE",
+                    "DynamicVoxelVFE", "ImageVFE"):
         kwargs.update(grid_size=tuple(int(g) for g in dataset.grid_size))
     if cfg.NAME == "DynamicPillarVFE" and cfg.get("MAX_PILLARS", None):
         kwargs.update(max_pillars=int(cfg.MAX_PILLARS))
+    if cfg.NAME in ("DynamicMeanVFE", "DynamicVoxelVFE"):
+        # voxel capacity: explicit MAX_VOXELS wins, else the data
+        # processor's MAX_NUMBER_OF_VOXELS, else the class default
+        mv = getattr(getattr(dataset, "data_processor", None),
+                     "max_voxels", None)
+        mv = int(cfg.get("MAX_VOXELS", mv or 60000))
+        kwargs.update(max_voxels=mv)
     return cls(name="vfe", **kwargs)
 
 

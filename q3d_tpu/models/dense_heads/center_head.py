@@ -210,7 +210,10 @@ class CenterHead(nn.Module):
         for idx, pred in enumerate(pred_dicts):
             ids = jnp.asarray(self.class_id_mapping_each_head[idx])
 
-            approx = bool(pp.get("USE_APPROX_TOPK", True))
+            # default False = exact lax.top_k, matching the reference's
+            # torch.topk decode (centernet_utils.py:173-241); bench/deploy
+            # configs opt in to jax.lax.approx_max_k explicitly
+            approx = bool(pp.get("USE_APPROX_TOPK", False))
 
             def decode_one(hm, center, center_z, dim, rot, vel, ids=ids):
                 d = centernet_utils.decode_bbox_from_heatmap(

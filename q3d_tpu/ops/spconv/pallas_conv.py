@@ -100,7 +100,7 @@ def _kernel_v2(ss_ref, anchor_ref, code_ref, f3_hbm, w_ref, out_ref, *,
 
     def body(span_buf, acc_ref, sems):
         def dma(g, slot, which):
-            s0 = ss_ref[which, i, g] * Q
+            s0 = ss_ref[which, i * gk + g] * Q
             return pltpu.make_async_copy(
                 f3_hbm.at[pl.ds(s0, s), :],
                 span_buf.at[2 * slot + which],
@@ -118,18 +118,18 @@ def _kernel_v2(ss_ref, anchor_ref, code_ref, f3_hbm, w_ref, out_ref, *,
                 dma(g, slot, which).wait()
 
         start(0, 0, 0, True)
-        start(0, 0, 1, ss_ref[2, i, 0] == 1)
+        start(0, 0, 1, ss_ref[2, i * gk] == 1)
         for g in range(gk):                      # static unroll
             slot = g % 2
             nslot = 1 - slot
-            use_b = ss_ref[2, i, g] == 1
+            use_b = ss_ref[2, i * gk + g] == 1
             if g + 1 < gk:
                 start(g + 1, nslot, 0, True)
-                start(g + 1, nslot, 1, ss_ref[2, i, g + 1] == 1)
+                start(g + 1, nslot, 1, ss_ref[2, i * gk + g + 1] == 1)
             wait(g, slot, 0, True)
             a = anchor_ref[g]                    # (BM,)
             code = code_ref[g]
-            s0a = ss_ref[0, i, g] * Q
+            s0a = ss_ref[0, i * gk + g] * Q
             ila = a - s0a
             in_a = (ila >= 0) & (ila < s)
             iota = jax.lax.broadcasted_iota(jnp.int32, (bm, s), 1)
@@ -140,7 +140,7 @@ def _kernel_v2(ss_ref, anchor_ref, code_ref, f3_hbm, w_ref, out_ref, *,
             wait(g, slot, 1, use_b)
 
             def with_b():
-                s0b = ss_ref[1, i, g] * Q
+                s0b = ss_ref[1, i * gk + g] * Q
                 ilb = jnp.where(in_a, -1, a - s0b)
                 ohb = (iota == ilb[:, None]).astype(span_a.dtype)
                 return rows + jnp.dot(ohb, span_buf[2 * slot + 1],
@@ -193,7 +193,7 @@ def _kernel_v3(ss_ref, anchor_ref, code_ref, f3_ref, w_ref, out_ref, *,
     for g in range(gk):                          # static unroll
         a = anchor_ref[g]                        # (BM,)
         code = code_ref[g]
-        s0a = ss_ref[0, i, g] * Q
+        s0a = ss_ref[0, i * gk + g] * Q
         span_a = f3_ref[pl.ds(s0a, s), :]
         ila = a - s0a
         in_a = (ila >= 0) & (ila < s)
@@ -201,18 +201,18 @@ def _kernel_v3(ss_ref, anchor_ref, code_ref, f3_ref, w_ref, out_ref, *,
         rows = jnp.dot(oha, span_a, preferred_element_type=acc_dtype)
 
         if uncond_b:
-            s0b = ss_ref[1, i, g] * Q
+            s0b = ss_ref[1, i * gk + g] * Q
             span_b = f3_ref[pl.ds(s0b, s), :]
-            live_b = (ss_ref[2, i, g] == 1) & ~in_a
+            live_b = (ss_ref[2, i * gk + g] == 1) & ~in_a
             ilb = jnp.where(live_b, a - s0b, -1)
             ohb = (iota == ilb[:, None]).astype(span_b.dtype)
             rows2 = rows + jnp.dot(ohb, span_b,
                                    preferred_element_type=acc_dtype)
         else:
-            use_b = ss_ref[2, i, g] == 1
+            use_b = ss_ref[2, i * gk + g] == 1
 
             def with_b():
-                s0b = ss_ref[1, i, g] * Q
+                s0b = ss_ref[1, i * gk + g] * Q
                 span_b = f3_ref[pl.ds(s0b, s), :]
                 ilb = jnp.where(in_a, -1, a - s0b)
                 ohb = (iota == ilb[:, None]).astype(span_b.dtype)
@@ -249,6 +249,10 @@ def _onehot_conv_call(f3, anchor, code, span_q, weight, bm, s, cin,
     nb = mpad // bm
     acc_dtype = jnp.int32 if f3.dtype == jnp.int8 else jnp.float32
     use_vmem = f3.size * f3.dtype.itemsize <= VMEM_F3_LIMIT
+    # SMEM pads the minor dim to 128 lanes: (3, NB, G) would burn
+    # 3*NB*128*4 B and blow the 1 MB SMEM at 160k-voxel capacities;
+    # flattened (3, NB*G) pads once (kernels index [which, i*G + g])
+    span_q = span_q.reshape(3, -1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),

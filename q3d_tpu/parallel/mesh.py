@@ -116,9 +116,18 @@ def make_train_step(model, tx, mesh=None, grad_clip=10.0, rules=None):
 
     def sharded(variables, opt_state, batch):
         # non-array batch entries (ints, strings) cannot cross shard_map;
-        # models derive sizes from shapes, so they are simply dropped
+        # models derive sizes from shapes, so they are dropped — loudly,
+        # because a model whose training forward reads a dropped key would
+        # otherwise work single-device and silently differ under the mesh
         arrays = {k: v for k, v in batch.items()
                   if isinstance(v, (np.ndarray, jnp.ndarray)) and jnp.ndim(v)}
+        dropped = sorted(set(batch) - set(arrays))
+        if dropped:
+            import logging
+            logging.getLogger("q3d_tpu.parallel").warning(
+                "shard_map train step drops non-array batch keys %s; "
+                "models must derive sizes from array shapes (traced once "
+                "per compilation)", dropped)
         fn = shard_map(
             lambda v, o, b: step(v, o, b, axis_name="data"),
             mesh=mesh, in_specs=(rep, rep, {k: data for k in arrays}),

@@ -176,16 +176,37 @@ def import_torch_state_dict(state_dict, variables, strict=False, logger=None):
     keep the initialized value otherwise (non-strict), like the reference's
     partial-load ``load_params_from_file`` (detector3d_template.py:361-384).
     """
+    from .pcdet_names import to_pcdet, make_out_index
+
     ours = _flatten_tree(variables)
     torch_flat = {}
     for k, v in state_dict.items():
         arr = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
         torch_flat[_torch_name_to_ours(k)] = arr
 
+    out_index = make_out_index(list(ours))
     used = set()
     out = {}
     missing = []
     for path, leaf in ours.items():
+        # exact-name fast path: the canonical pcdet key for this leaf
+        # (shared with export_torch_state_dict) — deterministic even when
+        # many tensors share a shape, unlike the suffix matcher below
+        exact = to_pcdet(path, out_index)
+        if exact is not None:
+            norm = _torch_name_to_ours(exact)
+            if norm in torch_flat and norm not in used:
+                try:
+                    adapted = adapt_torch_tensor(torch_flat[norm],
+                                                 np.shape(leaf))
+                    used.add(norm)
+                    out[path] = np.asarray(adapted, np.asarray(leaf).dtype)
+                    continue
+                except ValueError:
+                    pass
+    for path, leaf in ours.items():
+        if path in out:
+            continue
         coll_path = [p for p in path]
         leaf_name = coll_path[-1]
         mod_path = coll_path[:-1]

@@ -35,3 +35,31 @@ def test_caddn_inference():
     out = model.apply(variables, batch, train=False)
     assert out["final_boxes"].shape[0] == 2
     assert np.isfinite(np.asarray(out["final_boxes"])).all()
+
+
+def test_depth_bin_index_modes():
+    """UD/LID/SID bin formulas (reference transform_utils.py:56 bin_depths).
+
+    LID closed form: depth at bin-i lower edge d_min + bin_size/2*i*(i+1)
+    maps exactly back to index i."""
+    import jax.numpy as jnp
+    from q3d_tpu.models.backbones_3d.vfe.image_vfe import depth_bin_index
+
+    d_min, d_max, nb = 2.0, 46.8, 80
+    # UD: uniform spacing
+    ud = depth_bin_index(jnp.asarray([d_min, (d_min + d_max) / 2, d_max]),
+                         "UD", d_min, d_max, nb)
+    np.testing.assert_allclose(np.asarray(ud), [0.0, nb / 2, nb], atol=1e-4)
+    # LID: quadratic edge positions round-trip to integer indices
+    bin_size = 2.0 * (d_max - d_min) / (nb * (1 + nb))
+    idx = np.asarray([0, 1, 5, 40, 79], np.float64)
+    edges = d_min + bin_size / 2.0 * idx * (idx + 1.0)
+    lid = depth_bin_index(jnp.asarray(edges), "LID", d_min, d_max, nb)
+    np.testing.assert_allclose(np.asarray(lid), idx, atol=1e-3)
+    # LID bins widen with depth => indices grow sub-linearly vs UD
+    mid = depth_bin_index(jnp.asarray([(d_min + d_max) / 2]),
+                          "LID", d_min, d_max, nb)
+    assert float(mid[0]) > nb / 2          # early bins are narrower
+    # SID endpoints
+    sid = depth_bin_index(jnp.asarray([d_min, d_max]), "SID", d_min, d_max, nb)
+    np.testing.assert_allclose(np.asarray(sid), [0.0, nb], atol=1e-3)

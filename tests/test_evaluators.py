@@ -60,6 +60,60 @@ def test_kitti_missed_detection_lowers_ap():
     assert 30.0 < res["Car_3d/moderate_R40"] < 70.0, res
 
 
+def test_kitti_aos_perfect_orientation_equals_bbox_ap():
+    # AOS similarity (1+cos(d))/2 == 1 when dt alpha == gt alpha, so the
+    # AOS curve equals the bbox precision curve exactly
+    rng = np.random.RandomState(2)
+    gts, dts = [], []
+    for f in range(60):
+        boxes = np.asarray([_cam_box(f * 0.1, 10)], np.float32)
+        g = _kitti_anno(boxes, ["Car"])
+        d = _kitti_anno(boxes, ["Car"], scores=rng.uniform(0.5, 1.0, 1))
+        g["alpha"] = np.asarray([0.3])
+        d["alpha"] = np.asarray([0.3])
+        gts.append(g)
+        dts.append(d)
+    _, res = get_official_eval_result(gts, dts, ["Car"])
+    assert "Car_aos/moderate_R40" in res
+    assert abs(res["Car_aos/moderate_R40"]
+               - res["Car_bbox/moderate_R40"]) < 1e-6, res
+
+
+def test_kitti_aos_flipped_orientation_below_ap():
+    # dt alpha off by pi -> similarity (1+cos(pi))/2 = 0 -> AOS ~ 0 while
+    # bbox AP is unchanged (orientation does not affect matching)
+    rng = np.random.RandomState(3)
+    gts, dts = [], []
+    for f in range(60):
+        boxes = np.asarray([_cam_box(f * 0.1, 10)], np.float32)
+        g = _kitti_anno(boxes, ["Car"])
+        d = _kitti_anno(boxes, ["Car"], scores=rng.uniform(0.5, 1.0, 1))
+        g["alpha"] = np.asarray([0.3])
+        d["alpha"] = np.asarray([0.3 + np.pi])
+        gts.append(g)
+        dts.append(d)
+    _, res = get_official_eval_result(gts, dts, ["Car"])
+    assert res["Car_bbox/moderate_R40"] > 95.0
+    assert res["Car_aos/moderate_R40"] < 1.0, res
+
+
+def test_kitti_aos_gated_off_without_alpha():
+    # reference convention: alpha == -10 marks "no observation angle";
+    # AOS keys must then be absent while AP still computes
+    rng = np.random.RandomState(4)
+    gts, dts = [], []
+    for f in range(10):
+        boxes = np.asarray([_cam_box(f * 0.1, 10)], np.float32)
+        g = _kitti_anno(boxes, ["Car"])
+        d = _kitti_anno(boxes, ["Car"], scores=rng.uniform(0.5, 1.0, 1))
+        d["alpha"] = np.asarray([-10.0])
+        gts.append(g)
+        dts.append(d)
+    _, res = get_official_eval_result(gts, dts, ["Car"])
+    assert not any(k.startswith("Car_aos") for k in res), res
+    assert "Car_bbox/moderate_R40" in res
+
+
 def test_kitti_false_positives_lower_precision():
     gt_boxes = np.asarray([_cam_box(0, 10)], np.float32)
     fp = np.asarray([_cam_box(0, 10), _cam_box(30, 40)], np.float32)

@@ -145,3 +145,77 @@ def test_sampling_mode_ab(setup):
     # first-K must not sit outside the random scheme's own noise floor
     assert d_first_vs_rand <= max(4 * d_seed_vs_seed, 1e-3), \
         (d_first_vs_rand, d_seed_vs_seed)
+
+
+def test_mppnet_streaming_bank_matches_recompute(setup):
+    """VERDICT r2 #5 'done' criterion: when the bank holds exactly the
+    features the recompute path derives for the past frames, the streaming
+    path's outputs are IDENTICAL to the full recompute — with 1 frame
+    cropped+encoded instead of T (the gather/concat/roll plumbing is
+    lossless; the approximation in real streaming is only that cached
+    features were pooled around the boxes as proposed when their frame was
+    current, exactly like reference mppnet_memory_bank_e2e.py)."""
+    import jax.numpy as jnp
+
+    cfg, dataset, loader, model, variables = setup
+    batch = load_data_to_device(next(iter(loader)))
+    B, T, R = batch["roi_boxes"].shape[:3]
+    P = int(cfg.MODEL.ROI_HEAD.Transformer.num_proxy_points)
+    C = int(cfg.MODEL.ROI_HEAD.TRANS_INPUT)
+
+    def probe(m, b):
+        # pure trajectory math — no submodules, safe outside @compact
+        h = m.roi_head
+        proposals = b["roi_boxes"]
+        prop_valid = jnp.any(proposals[..., 3:6] != 0, axis=-1)
+        cur = proposals[:, 0]
+        return h.generate_trajectory_with_idx(cur, proposals, prop_valid)
+
+    _, valid_len, match_idx = model.apply(variables, dict(batch),
+                                          method=probe)
+    # geometry features: captured from the recompute forward's MSG pooling
+    # blocks (geo = concat of the per-radius _SAMLPBlock outputs)
+    ref_out, inter = model.apply(
+        variables, dict(batch), train=False,
+        capture_intermediates=lambda mdl, _:
+            (mdl.name or "").startswith("pool_r"),
+        mutable=["intermediates"])
+    pools = inter["intermediates"]["roi_head"]
+    radii = list(cfg.MODEL.ROI_HEAD.ROI_GRID_POOL.POOL_RADIUS)
+    order = [f"pool_r{str(r).replace('.', '_')}" for r in radii]
+    pooled = [pools[k]["__call__"][0] for k in order]
+    geo = np.concatenate([np.asarray(p) for p in pooled], axis=-1)
+    geo = geo.reshape(B, R, T, P, C)
+    valid_len = np.asarray(valid_len)          # (B, T, R)
+    match_idx = np.asarray(match_idx)          # (B, T, R)
+
+    # scatter the recompute features into the bank layout the streaming
+    # gather reads from: bank[b, t-1, match_idx[b, t, r]] = geo[b, r, t]
+    bank = np.zeros((B, T - 1, R, P, C), np.float32)
+    for b in range(B):
+        for t in range(1, T):
+            for r in range(R):
+                if valid_len[b, t, r]:
+                    bank[b, t - 1, match_idx[b, t, r]] = geo[b, r, t]
+
+    sbatch = dict(batch)
+    sbatch["bank_feats"] = jnp.asarray(bank)
+    stream_out = model.apply(variables, sbatch, train=False)
+
+    # exact equality holds where the cache is defined: rois whose
+    # trajectory matched a proposal in EVERY past frame.  (Rois with an
+    # invalid past frame diverge by design: streaming zero-masks the
+    # missing feature, recompute crops around the motion-extrapolated box —
+    # the same approximation the reference memory bank makes.)
+    rows_ok = valid_len.all(axis=1)            # (B, R)
+    assert rows_ok.sum() >= 4, "synthetic fixture should have full tracks"
+    sb = np.asarray(stream_out["final_boxes"])[rows_ok]
+    rb = np.asarray(ref_out["final_boxes"])[rows_ok]
+    np.testing.assert_allclose(sb, rb, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(stream_out["final_scores"])[rows_ok],
+        np.asarray(ref_out["final_scores"])[rows_ok], rtol=1e-4, atol=1e-4)
+    # the streaming path cached current-frame features for the next step —
+    # crop+encode ran ONCE (frame 0) instead of T times
+    np.testing.assert_allclose(np.asarray(stream_out["bank_feats_out"])[:, 0],
+                               geo[:, :, 0], rtol=1e-4, atol=1e-4)
