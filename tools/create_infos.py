@@ -20,7 +20,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("dataset",
-                        choices=["kitti", "nuscenes", "waymo", "custom"])
+                        choices=["kitti", "nuscenes", "waymo", "once",
+                                 "lyft", "argo2", "pandaset", "custom"])
     parser.add_argument("--cfg_file", required=True)
     parser.add_argument("--data_path", required=True)
     parser.add_argument("--save_path", default=None)
@@ -80,6 +81,31 @@ def main():
                               root_path=args.data_path, training=True)
             out = create_groundtruth_database(ds)
             print(f"gt database -> {out}")
+    elif args.dataset == "once":
+        from q3d_tpu.datasets.once.once_dataset import create_once_infos
+        create_once_infos(cfg, cfg.get("CLASS_NAMES", None), args.data_path,
+                          save_path)
+    elif args.dataset == "lyft":
+        # gated on the lyft SDK like the reference (lyft_dataset.py:207)
+        from q3d_tpu.datasets.lyft.lyft_dataset import (LyftDataset,
+                                                        create_lyft_infos)
+        create_lyft_infos(args.version if args.version != "v1.0-trainval"
+                          else "trainval", args.data_path, save_path,
+                          max_sweeps=args.max_sweeps or 10)
+        if args.with_gt_database:
+            ds = LyftDataset(dataset_cfg=cfg, class_names=None,
+                             root_path=args.data_path, training=True)
+            out = ds.create_groundtruth_database(
+                max_sweeps=args.max_sweeps or 10)
+            print(f"gt database -> {out}")
+    elif args.dataset == "argo2":
+        from q3d_tpu.datasets.argo2.argo2_dataset import create_argo2_infos
+        create_argo2_infos(args.data_path, save_path)
+    elif args.dataset == "pandaset":
+        from q3d_tpu.datasets.pandaset.pandaset_dataset import (
+            create_pandaset_infos)
+        create_pandaset_infos(cfg, cfg.get("CLASS_NAMES", None),
+                              args.data_path, save_path)
     else:
         print("custom dataset: point/label files are consumed directly; "
               "no info generation required")
