@@ -123,8 +123,9 @@ def pointpillar_recipe(w_bits=8, act_bits=8, sq=True, alpha=0.5, static=False):
 
 def voxelnext_recipe(w_bits=8, act_bits=8, sq=True, alpha=0.5, static=False):
     """quant_voxelnext.py semantics: 3D backbone QConv3d + sparse-2D convs
-    through the SQSubM2d SmoothQuant path; the sparse detection-head branch
-    convs stay FP (reference no_list :29-72)."""
+    through the SQSubM2d SmoothQuant path; per head the branch OUTPUT convs
+    + hm convs stay FP while hidden branch convs quantize (reference
+    no_list :29-72 — same shape as the CenterPoint list)."""
     dynamic = not static
     calib = "histogram" if static else "max"
     sparse3d = LayerRule(
@@ -141,7 +142,10 @@ def voxelnext_recipe(w_bits=8, act_bits=8, sq=True, alpha=0.5, static=False):
     )
     no_list = (
         "backbone_3d.conv_input*",
-        "dense_head.heads_list_*",      # every sparse head conv stays FP
+        # reference quant_voxelnext.py:29-72: per head, each branch's FINAL
+        # conv (.1) + BOTH hm convs stay FP; hidden branch convs quantize
+        "dense_head.heads_list_*.*_out",
+        "dense_head.heads_list_*.hm_*",
     )
     return QuantRules(rules=(sparse3d, sparse2d), no_list=no_list)
 

@@ -210,8 +210,12 @@ def import_torch_state_dict(state_dict, variables, strict=False, logger=None):
         coll_path = [p for p in path]
         leaf_name = coll_path[-1]
         mod_path = coll_path[:-1]
-        # drop flax-internal nesting names that torch doesn't have
-        mod_tokens = [t for t in mod_path if t not in ("bn",)]
+        # drop the flax-internal trailing 'bn' (layers.BatchNorm nests one);
+        # an EARLIER 'bn' is a real torch child name (BasicBlock2D.bn) and
+        # must survive for suffix matching
+        mod_tokens = list(mod_path)
+        if mod_tokens and mod_tokens[-1] == "bn":
+            mod_tokens = mod_tokens[:-1]
         cands = _LEAF_MAP.get(leaf_name, (leaf_name,))
         found = None
         # try progressively shorter suffixes of the module path (down to the

@@ -264,3 +264,142 @@ def test_static_smoothquant_sparse_matches_dynamic_on_calib_data():
 
     np.testing.assert_allclose(np.asarray(out_dyn), np.asarray(out_st),
                                rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# no_list parity (VERDICT r2 #10): enumerate every layer path each recipe
+# resolves on the matching tiny model and assert the excluded set matches
+# the reference drivers' no_list semantics.
+# ---------------------------------------------------------------------------
+
+
+class _RecordingRules:
+    """Wraps QuantRules, recording every (path, kind) -> rule resolution the
+    model's layers perform during a forward."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.calls = {}
+
+    def lookup(self, path, kind):
+        rule = self.inner.lookup(path, kind)
+        self.calls[path] = (kind, rule)
+        return rule
+
+    def __getattr__(self, name):
+        return getattr(self.inner, name)
+
+
+def _enumerate_paths(cfg_name, recipe):
+    import jax
+    from pathlib import Path as _P
+    from q3d_tpu.config import cfg_from_yaml_file, EDict
+    from q3d_tpu.datasets import build_dataloader
+    from q3d_tpu.models import build_network, load_data_to_device
+    from q3d_tpu.quant.rules import quant_rules_scope
+
+    root = _P(__file__).resolve().parent.parent
+    cfg = cfg_from_yaml_file(
+        str(root / "tools/cfgs/synthetic_models" / cfg_name), EDict())
+    dataset, loader, _ = build_dataloader(cfg.DATA_CONFIG, cfg.CLASS_NAMES,
+                                          batch_size=1, training=False)
+    model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
+                          dataset=dataset)
+    batch = load_data_to_device(next(iter(loader)))
+    rec = _RecordingRules(recipe)
+    with quant_rules_scope(rec):
+        variables = jax.jit(
+            lambda k, b: model.init(k, b, train=False))(jax.random.PRNGKey(0),
+                                                        batch)
+        model.apply(variables, batch, train=False)
+    return rec.calls
+
+
+def _split(calls):
+    quantized = {p for p, (k, r) in calls.items() if r is not None}
+    excluded = {p for p, (k, r) in calls.items() if r is None}
+    return quantized, excluded
+
+
+def test_no_list_parity_centerpoint():
+    """Reference quant_centerpoint.py:24-71: first sparse conv + per-head
+    branch OUTPUT convs + both hm convs excluded; hidden branch convs and
+    all other backbone/BEV convs quantized."""
+    from q3d_tpu.quant.api import centerpoint_recipe
+    calls = _enumerate_paths("centerpoint_tiny.yaml", centerpoint_recipe())
+    quantized, excluded = _split(calls)
+
+    assert any(p.startswith("backbone_3d.conv_input") for p in excluded)
+    assert not any(p.startswith("backbone_3d.conv_input")
+                   for p in quantized)
+    # per head: *_out excluded, hm_* excluded, hidden convs quantized
+    outs = {p for p in calls if ".heads_list_" in p and p.endswith("_out")}
+    assert outs and outs <= excluded
+    hms = {p for p in calls if ".hm_" in p or p.endswith(".hm_0")}
+    assert hms and hms <= excluded
+    hidden = {p for p in calls if ".heads_list_" in p
+              and not p.endswith("_out") and ".hm" not in p}
+    assert hidden and hidden <= quantized
+    # backbone + BEV pyramid quantized
+    assert any(p.startswith("backbone_3d.conv2") for p in quantized)
+    assert any(p.startswith("backbone_2d.") for p in quantized)
+
+
+def test_no_list_parity_second():
+    """Reference quant_second.py:30-67 excludes exactly the RPN output
+    convs (here AnchorHeadSingle conv_cls/conv_box/conv_dir_cls)."""
+    from q3d_tpu.quant.api import second_recipe
+    calls = _enumerate_paths("second_iou_tiny.yaml", second_recipe())
+    quantized, excluded = _split(calls)
+    for out_conv in ("dense_head.conv_cls", "dense_head.conv_box"):
+        assert out_conv in calls, sorted(calls)[:10]
+        assert out_conv in excluded
+    assert any(p.startswith("backbone_3d.conv_input") for p in excluded)
+    assert any(p.startswith("backbone_2d.") for p in quantized)
+
+
+def test_no_list_parity_voxelnext():
+    """Reference quant_voxelnext.py:29-72 — SAME shape as the CenterPoint
+    list: branch finals + hm excluded, hidden branch convs QUANTIZED."""
+    from q3d_tpu.quant.api import voxelnext_recipe
+    calls = _enumerate_paths("voxelnext_tiny.yaml", voxelnext_recipe())
+    quantized, excluded = _split(calls)
+    outs = {p for p in calls if ".heads_list_" in p and p.endswith("_out")}
+    assert outs and outs <= excluded
+    hms = {p for p in calls if ".hm_" in p}
+    assert hms and hms <= excluded
+    hidden = {p for p in calls if ".heads_list_" in p
+              and not p.endswith("_out") and ".hm" not in p}
+    assert hidden and hidden <= quantized, (hidden & excluded)
+    assert any(p.startswith("backbone_3d.conv_input") for p in excluded)
+
+
+def test_no_list_parity_pointpillar():
+    """quant drivers keep the pillar VFE + RPN output convs FP."""
+    from q3d_tpu.quant.api import pointpillar_recipe
+    calls = _enumerate_paths("pointpillar_tiny.yaml", pointpillar_recipe())
+    quantized, excluded = _split(calls)
+    assert not any(p.startswith("vfe") for p in quantized)
+    for out_conv in ("dense_head.conv_cls", "dense_head.conv_box"):
+        if out_conv in calls:
+            assert out_conv in excluded
+    assert any(p.startswith("backbone_2d.") for p in quantized)
+
+
+def test_no_list_parity_transfusion():
+    """Reference quant_transfusion.py:29-38: attention out-projections +
+    prediction-head output convs + heatmap final conv excluded; the decoder
+    q/k/v linears and FFN quantized."""
+    from q3d_tpu.quant.api import transfusion_recipe
+    calls = _enumerate_paths("transfusion_tiny.yaml", transfusion_recipe())
+    quantized, excluded = _split(calls)
+    outp = {p for p in calls if "out_proj" in p}
+    assert outp and outp <= excluded, outp & quantized
+    finals = {p for p in calls
+              if "prediction_head" in p and p.endswith("_out")}
+    assert finals and finals <= excluded
+    dec_lin = {p for p, (k, r) in calls.items()
+               if p.startswith("dense_head.decoder") and "out_proj" not in p
+               and k in ("linear", "conv1d")}
+    assert dec_lin and dec_lin <= quantized, dec_lin & excluded
+    assert any(p.startswith("backbone_3d.conv2") for p in quantized)
