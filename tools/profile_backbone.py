@@ -43,7 +43,8 @@ def main():
     from q3d_tpu.quant.api import int8_deploy_recipe
     from q3d_tpu.quant.rules import quant_rules_scope
 
-    cfg_name = ("centerpoint_bench.yaml" if args.size == "bench"
+    cfg_name = ("centerpoint_ref.yaml" if args.size == "ref"
+                else "centerpoint_bench.yaml" if args.size == "bench"
                 else "centerpoint_tiny.yaml")
     cfg, model, raw = benchmod.build(cfg_name, 1)
     batch16 = load_data_to_device(raw, compute_dtype=jnp.bfloat16)

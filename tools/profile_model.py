@@ -37,6 +37,10 @@ def main():
     parser.add_argument("--iters", type=int, default=5)
     parser.add_argument("--trace", default=None,
                         help="also write a jax.profiler trace to this dir")
+    parser.add_argument("--memory-profile", default=None,
+                        help="write a pprof device memory profile (the "
+                             "allocator-snapshot analogue of the reference's "
+                             "collect_gpu_stats.py)")
     parser.add_argument("--report", action="store_true",
                         help="emit the workbench report: per-module top-20 "
                              "time/memory table + accuracy-vs-bits curves")
@@ -92,6 +96,14 @@ def main():
         with profiler.trace(args.trace):
             jax.block_until_ready(jax.jit(full)(variables, batch))
         print(f"trace written to {args.trace}")
+
+    if args.memory_profile:
+        # allocator-level snapshot (reference collect_gpu_stats.py:163-180
+        # pickles torch.cuda.memory._snapshot(); the XLA equivalent is the
+        # pprof-format device memory profile — inspect with `pprof`)
+        jax.block_until_ready(jax.jit(full)(variables, batch))
+        jax.profiler.save_device_memory_profile(args.memory_profile)
+        print(f"device memory profile -> {args.memory_profile}")
 
     if args.report:
         module_report(model, variables, batch, rules, breakdown)

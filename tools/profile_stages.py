@@ -29,7 +29,8 @@ def log(*a):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--size", default="bench", choices=["bench", "tiny"])
+    ap.add_argument("--size", default="bench",
+                    choices=["ref", "bench", "tiny"])
     ap.add_argument("--quant", choices=["none", "int8"], default="none")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--batch", type=int, default=1)
@@ -48,7 +49,8 @@ def main():
     from q3d_tpu.quant.api import int8_deploy_recipe
     from q3d_tpu.quant.rules import quant_rules_scope
 
-    cfg_name = ("centerpoint_bench.yaml" if args.size == "bench"
+    cfg_name = ("centerpoint_ref.yaml" if args.size == "ref"
+                else "centerpoint_bench.yaml" if args.size == "bench"
                 else "centerpoint_tiny.yaml")
     cfg, model, raw = benchmod.build(cfg_name, args.batch)
     batch16 = load_data_to_device(raw, compute_dtype=jnp.bfloat16)
