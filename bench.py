@@ -435,7 +435,13 @@ def main():
                        "e2e_ratio": round(fps_streaming / fps_streaming16, 4)}
                       if fps_streaming16 is not None else {}),
                    "timing": "dispatch" if args.dispatch_timing
-                             else "device_loop"},
+                             else "device_loop",
+                   "note": "r3: the one-hot kernel now engages at "
+                           "160k-voxel scale (overflow-cap fix): bf16 "
+                           "298->119 ms, int8 119->97 ms, both all-time "
+                           "fastest; the ratio compresses because the "
+                           "shared kernel's VPU/VMEM floor is "
+                           "dtype-neutral (see README Performance)"},
     }))
 
 

@@ -74,6 +74,15 @@ def choose_block(capacity, cin, dtype=None):
     # for both dtypes.  ``dtype`` is plumbed (and the host planner builds
     # preps per distinct policy) so future per-dtype splits stay cheap to
     # try.
+    # reference-envelope tier (2026-08 r3 sweep at 100-200k rows / 0.075 m,
+    # tools/profile_conv_paths.py --size ref): C16@160k 512/768 5.03/4.20
+    # (bf16/int8 ms) vs 5.63/4.89 @256/384u; C32@200k 512/768u 7.17/6.04
+    if cin <= 16 and capacity >= 100000:
+        return 512, 768, False
+    if cin <= 32 and capacity >= 100000:
+        return 512, 768, True
+    if cin <= 64 and capacity >= 90000:      # C64@100k: 4.23/3.58 vs
+        return 512, 768, True                # 4.39/3.70 @256/512
     if cin <= 16 and capacity >= 512:
         return 256, 384, True
     if cin <= 32 and capacity >= 2048:
@@ -184,11 +193,13 @@ def _kernel_v3(ss_ref, anchor_ref, code_ref, f3_ref, w_ref, out_ref, *,
     software-pipeline.
 
     The one-hot construction (an (BM, S) iota-vs-anchor compare per group)
-    is the kernel's VPU-bound floor at narrow channels; int16 compares
-    would pack lanes 2x denser but v5e Mosaic has no 16-bit iota, so the
-    compares stay int32."""
+    is the kernel's VPU-bound floor at narrow channels.  The compares run
+    in int16 (2x lane density vs int32): v5e Mosaic cannot CREATE an int16
+    iota but an int32 iota truncated once outside the loop lowers fine, and
+    anchors are pre-clamped to [-1, s] (< 2^15) so equality is exact."""
     i = pl.program_id(0)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (bm, s), 1)
+    iota16 = jax.lax.broadcasted_iota(jnp.int32, (bm, s), 1) \
+        .astype(jnp.int16)
     acc = None
     for g in range(gk):                          # static unroll
         a = anchor_ref[g]                        # (BM,)
@@ -197,7 +208,8 @@ def _kernel_v3(ss_ref, anchor_ref, code_ref, f3_ref, w_ref, out_ref, *,
         span_a = f3_ref[pl.ds(s0a, s), :]
         ila = a - s0a
         in_a = (ila >= 0) & (ila < s)
-        oha = (iota == ila[:, None]).astype(span_a.dtype)
+        ila16 = jnp.clip(ila, -1, s).astype(jnp.int16)
+        oha = (iota16 == ila16[:, None]).astype(span_a.dtype)
         rows = jnp.dot(oha, span_a, preferred_element_type=acc_dtype)
 
         if uncond_b:
@@ -205,7 +217,8 @@ def _kernel_v3(ss_ref, anchor_ref, code_ref, f3_ref, w_ref, out_ref, *,
             span_b = f3_ref[pl.ds(s0b, s), :]
             live_b = (ss_ref[2, i * gk + g] == 1) & ~in_a
             ilb = jnp.where(live_b, a - s0b, -1)
-            ohb = (iota == ilb[:, None]).astype(span_b.dtype)
+            ilb16 = jnp.clip(ilb, -1, s).astype(jnp.int16)
+            ohb = (iota16 == ilb16[:, None]).astype(span_b.dtype)
             rows2 = rows + jnp.dot(ohb, span_b,
                                    preferred_element_type=acc_dtype)
         else:
@@ -215,7 +228,8 @@ def _kernel_v3(ss_ref, anchor_ref, code_ref, f3_ref, w_ref, out_ref, *,
                 s0b = ss_ref[1, i * gk + g] * Q
                 span_b = f3_ref[pl.ds(s0b, s), :]
                 ilb = jnp.where(in_a, -1, a - s0b)
-                ohb = (iota == ilb[:, None]).astype(span_b.dtype)
+                ilb16 = jnp.clip(ilb, -1, s).astype(jnp.int16)
+                ohb = (iota16 == ilb16[:, None]).astype(span_b.dtype)
                 return rows + jnp.dot(ohb, span_b,
                                       preferred_element_type=acc_dtype)
 
@@ -452,13 +466,15 @@ def gather_conv_chunked_fast(features, keys, xcol, nx, chunk_idx, weight,
 
 def overflow_cap(m):
     # measured real overflow on lidar-like scenes: <100 entries at 40k rows
-    # (anchors of a 128-output block span at most a couple of y/z row
-    # crossings); the ok-flag falls back to the exact gather path if a
-    # frame ever exceeds this.  Kept tight: apply_overflow runs G masked
-    # GEMMs over ALL cap rows every conv, so an oversized cap costs real
-    # MXU time (cap 2500 -> 312 at 40k rows saved ~0.4 ms/frame on v5e).
+    # / 0.1 m, but 1.6-6% of rows at the REFERENCE envelope (160k rows /
+    # 0.075 m: finer grids mean shorter x-runs per (z,y) row, so a block's
+    # anchors cross more rows than two spans cover).  m//12 (8.3%) keeps
+    # ~40% headroom over the worst measured stage; the ok-flag still falls
+    # back to the exact gather path if a frame ever exceeds it.  Oversizing
+    # costs real MXU time (apply_overflow runs G masked GEMMs over ALL cap
+    # rows every conv), so don't round up further.
     # MUST match the native twin (q3d_tpu/runtime/native.py chunk_prep*).
-    return max(256, m // 128)
+    return max(512, m // 12)
 
 
 def prepare_chunk(chunk_idx, capacity, bm=DEFAULT_BM, s=DEFAULT_S, cap=None):

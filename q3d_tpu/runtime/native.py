@@ -313,7 +313,7 @@ def chunk_prep(chunk, capacity, bm=128, s=256, q=32, cap=None):
     chunk = np.ascontiguousarray(chunk, np.int32)
     m, g = chunk.shape
     if cap is None:
-        cap = max(256, m // 128)  # must match pallas_conv.overflow_cap
+        cap = max(512, m // 12)  # must match pallas_conv.overflow_cap
     mpad = ((m + bm - 1) // bm) * bm
     nb = mpad // bm
     anchor = _empty((mpad, g), np.int32)
@@ -341,7 +341,7 @@ def chunk_prep_spans(chunk, capacity, bm=128, s=256, q=32, cap=None):
     chunk = np.ascontiguousarray(chunk, np.int32)
     m, g = chunk.shape
     if cap is None:
-        cap = max(256, m // 128)  # must match pallas_conv.overflow_cap
+        cap = max(512, m // 12)  # must match pallas_conv.overflow_cap
     mpad = ((m + bm - 1) // bm) * bm
     nb = mpad // bm
     span_q = _empty((3, nb, g), np.int32)

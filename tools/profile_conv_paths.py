@@ -28,6 +28,7 @@ def log(*a):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--size", default="bench", choices=["ref", "bench"])
     ap.add_argument("--bm", type=int, default=128)
     ap.add_argument("--s", type=int, default=256)
     ap.add_argument("--configs", default=None,
@@ -48,16 +49,24 @@ def main():
     from q3d_tpu.ops.spconv import engine, pallas_conv
     from q3d_tpu.ops.spconv.sparse_tensor import SparseConvTensor, linearize
 
+    cfg_name = ("centerpoint_ref.yaml" if args.size == "ref"
+                else "centerpoint_bench.yaml")
     cfg = cfg_from_yaml_file(
-        str(ROOT / "tools/cfgs/synthetic_models/centerpoint_bench.yaml"),
-        EDict())
+        str(ROOT / "tools/cfgs/synthetic_models" / cfg_name), EDict())
     dataset, loader, _ = build_dataloader(cfg.DATA_CONFIG, cfg.CLASS_NAMES,
                                           batch_size=1, training=False)
     raw = next(iter(loader))
     vox = np.asarray(raw["voxel_coords"])
     nx, ny, nz = (int(g) for g in dataset.grid_size)
     sparse_shape = (nz + 1, ny, nx)
-    caps = [38000, 30000, 16800]
+    # per-stage downsample output caps: cfg OUT_CAPACITY_FACTORS x input cap
+    fac = cfg.MODEL.BACKBONE_3D.get("OUT_CAPACITY_FACTORS",
+                                    {"x_conv2": 0.95, "x_conv3": 0.75,
+                                     "x_conv4": 0.42})
+    in_cap = int(np.asarray(raw["voxel_coords"]).shape[1])
+    caps = [int(in_cap * fac[k]) // 8 * 8
+            for k in ("x_conv2", "x_conv3", "x_conv4")]
+    log(f"caps: in={in_cap} {caps}")
     books = native.build_voxel_backbone_books(vox, sparse_shape, caps)
     coords0 = native.flatten_sort_coords(vox, sparse_shape)
 
@@ -185,9 +194,10 @@ def chain_bench():
     from q3d_tpu.ops.spconv.sparse_tensor import linearize
     import time as _t
 
+    cfg_name = ("centerpoint_ref.yaml" if args.size == "ref"
+                else "centerpoint_bench.yaml")
     cfg = cfg_from_yaml_file(
-        str(ROOT / "tools/cfgs/synthetic_models/centerpoint_bench.yaml"),
-        EDict())
+        str(ROOT / "tools/cfgs/synthetic_models" / cfg_name), EDict())
     dataset, loader, _ = build_dataloader(cfg.DATA_CONFIG, cfg.CLASS_NAMES,
                                           batch_size=1, training=False)
     raw = next(iter(loader))
