@@ -247,6 +247,10 @@ def time_mode(runner, variables, batch, iters, warmup=2):
     return max(t_long - t_short, 1e-9) / iters
 
 
+# v5e single-chip peak TFLOP/s (MXU): bf16 / int8
+PEAK_FLOPS = {"bf16": 197e12, "int8": 394e12}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="ref", choices=["ref", "bench", "tiny"])
@@ -261,6 +265,11 @@ def main():
                          "time = max(host, device) steady state")
     ap.add_argument("--dispatch-timing", action="store_true",
                     help="per-call dispatch timing instead of device loop")
+    ap.add_argument("--no-streaming", action="store_true",
+                    help="skip the end-to-end streaming measurement (the "
+                         "ladder's cheap banked attempts use this)")
+    ap.add_argument("--no-mfu", action="store_true",
+                    help="skip the HLO cost-analysis MFU computation")
     ap.add_argument("--no-ladder", action="store_true",
                     help="run exactly this configuration, no retries")
     args = ap.parse_args()
@@ -342,6 +351,25 @@ def main():
             f"{args.batch / dt:.2f} frames/s")
         return dt
 
+    def flops_of(rules, mode_vars, tag):
+        """HLO cost-analysis forward FLOPs (one single-forward compile —
+        cached by the persistent compilation cache after the first run).
+        VERDICT r3 #3: report achieved TFLOP/s + MFU vs the v5e peak."""
+        if args.no_mfu:
+            return None
+        from q3d_tpu.quant.rules import quant_rules_scope
+        from q3d_tpu.utils.profiler import compiled_cost
+        try:
+            def fn(v, b):
+                with quant_rules_scope(rules):
+                    return model.apply(v, b, train=False)["final_scores"].sum()
+            fl = compiled_cost(fn, mode_vars, batch16)["flops"]
+            log(f"{tag}: HLO flops/fwd = {fl / 1e9:.2f} G")
+            return fl if fl and fl > 0 else None
+        except Exception as e:  # noqa: BLE001  (older jaxlibs)
+            log(f"cost analysis unavailable ({e})")
+            return None
+
     # headline = device-loop inference time (the reference's 35% claim is
     # pure GPU inference time too); the host rulebook pipeline is MEASURED
     # separately as fps_streaming_int8 (overlapped builds), not folded in
@@ -349,6 +377,7 @@ def main():
     # otherwise dominate both modes and erase the dtype signal entirely
     dt16 = measure(None, variables, "bf16")
     fps16 = args.batch / dt16
+    flops16 = flops_of(None, variables, "bf16")
 
     # int8 deployment: static scales + int8 residency across the sparse
     # backbone.  PTQ calibration (collect absmax on the example scene, fold
@@ -366,9 +395,11 @@ def main():
     vars8 = jax.device_put(vars8)
     dt8 = measure(rules8, vars8, "int8")
     fps8 = args.batch / dt8
+    flops8 = flops_of(rules8, vars8, "int8")
 
     fps_streaming = fps_streaming16 = None
-    if args.host_rulebooks and "rulebooks" in batch16:
+    if args.host_rulebooks and "rulebooks" in batch16 \
+            and not args.no_streaming:
         # VERDICT r1 #4 / r2 #2: prove the host/device pipelining end-to-end
         # on N DISTINCT frames for BOTH dtypes — int8-vs-bf16 END-TO-END is
         # the honest serving ratio, reported alongside the device-loop one.
@@ -404,6 +435,13 @@ def main():
                 cfg.MODEL.BACKBONE_3D.NAME, cfg.MODEL.BACKBONE_3D,
                 model.dataset.grid_size, raws[i]["voxel_coords"], B * V)
 
+        # seeding pass: the native overflow-cap memo grows on a burst
+        # (runtime/native.py); visiting every frame once BEFORE staging
+        # pins one stable prep shape per stage so all windows stack and
+        # share one compiled program
+        for i in range(len(raws)):
+            build_books_for(i)
+
         import statistics
         log("timing int8 streaming (host builds overlapped) ...")
         wfn = _make_window_runner(model, rules8)
@@ -422,6 +460,21 @@ def main():
 
     ratio = fps8 / fps16
     log(f"speedup int8/bf16 = {ratio:.3f}x (target 1.35x)")
+
+    def mfu(flops, dt, peak):
+        if flops is None:
+            return {}
+        tf = flops / dt / 1e12
+        return {"tflops": round(tf, 2), "mfu": round(tf * 1e12 / peak, 4)}
+
+    mfu16 = mfu(flops16, dt16, PEAK_FLOPS["bf16"])
+    mfu8 = mfu(flops8, dt8, PEAK_FLOPS["int8"])
+    if mfu16:
+        log(f"bf16: {mfu16['tflops']} TFLOP/s achieved = "
+            f"{100 * mfu16['mfu']:.1f}% of v5e peak")
+    if mfu8:
+        log(f"int8: {mfu8['tflops']} TFLOP/s achieved = "
+            f"{100 * mfu8['mfu']:.1f}% of v5e int8 peak")
     print(json.dumps({
         "metric": "centerpoint_synthetic_int8_vs_bf16_fps_ratio",
         "value": round(ratio, 4),
@@ -433,64 +486,113 @@ def main():
                    "batch": args.batch, "config": cfg_name,
                    "segmented": args.segmented,
                    "host_rulebook_ms": round(host_ms, 3),
+                   **({"tflops_bf16": mfu16.get("tflops"),
+                       "mfu_bf16": mfu16.get("mfu")} if mfu16 else {}),
+                   **({"tflops_int8": mfu8.get("tflops"),
+                       "mfu_int8": mfu8.get("mfu")} if mfu8 else {}),
                    **({"fps_streaming_int8": round(fps_streaming, 3)}
                       if fps_streaming is not None else {}),
                    **({"fps_streaming_bf16": round(fps_streaming16, 3),
                        "e2e_ratio": round(fps_streaming / fps_streaming16, 4)}
                       if fps_streaming16 is not None else {}),
                    "timing": "dispatch" if args.dispatch_timing
-                             else "device_loop",
-                   "note": "r3: the one-hot kernel now engages at "
-                           "160k-voxel scale (overflow-cap fix): bf16 "
-                           "298->119 ms, int8 119->97 ms, both all-time "
-                           "fastest; the ratio compresses because the "
-                           "shared kernel's VPU/VMEM floor is "
-                           "dtype-neutral (see README Performance)"},
+                             else "device_loop"},
     }))
 
 
 def _ladder():
-    """Try configurations in fresh subprocesses; emit first success."""
-    # host-rulebook pipeline first (fastest frames/sec; headline time =
-    # max(host build, device) models the 1-core host of this box — a
-    # many-core serving host hides the build entirely), then device-only
+    """Bank-then-improve (VERDICT r3 #1): attempt 0 is a cheap guaranteed
+    finisher so SOME parsed number always lands in the driver artifact;
+    richer attempts (reference envelope, then batch-2 + streaming) only run
+    while the Q3D_BENCH_BUDGET clock has room, and each successful richer
+    attempt REPLACES the banked result (keeping the earlier values in
+    detail.prior_attempts).  A SIGTERM from the driver's timeout emits the
+    banked JSON before exit, so even a hard cutoff leaves an artifact."""
+    import signal
+
+    budget = float(os.environ.get("Q3D_BENCH_BUDGET", "2700"))
+    t0 = time.time()
+    banked = {}          # mutated in place so the signal handler sees it
+
+    def emit(*_a):
+        if banked:
+            print(json.dumps(banked), flush=True)
+        else:
+            print(json.dumps(
+                {"metric": "centerpoint_synthetic_int8_vs_bf16_fps_ratio",
+                 "value": 0.0, "unit": "x", "vs_baseline": 0.0,
+                 "detail": {"error": "no bench attempt finished in budget "
+                                     f"({budget:.0f}s)"}}), flush=True)
+        if _a:               # signal path: exit cleanly after emitting
+            sys.exit(0)
+
+    signal.signal(signal.SIGTERM, emit)
+
+    def remaining():
+        return budget - (time.time() - t0)
+
+    # (tag, est seconds with a warm compile cache, argv)
     attempts = [
+        ("bench", 420,
+         ["--size", "bench", "--host-rulebooks", "--iters", "20",
+          "--reps", "2", "--no-streaming"]),
+        ("ref", 900,
+         ["--size", "ref", "--host-rulebooks", "--iters", "8",
+          "--reps", "1", "--no-streaming"]),
         # batch 2 is the best int8 serving point at the reference envelope
         # (larger capacities -> larger MXU fraction -> int8 advantage
-        # grows: 1.36x vs 1.23x at batch 1); batch 1 is the fallback
-        ["--size", "ref", "--host-rulebooks", "--batch", "2",
-         "--iters", "6"],
-        ["--size", "ref", "--host-rulebooks", "--iters", "10"],
-        ["--size", "ref", "--iters", "10"],
-        ["--size", "bench", "--host-rulebooks", "--iters", "20"],
-        ["--size", "bench", "--iters", "20"],
-        ["--size", "tiny", "--iters", "50"],
-        ["--size", "tiny", "--segmented", "--dispatch-timing",
-         "--iters", "20"],
+        # grows); streaming both dtypes = the honest end-to-end ratio
+        ("ref-b2-streaming", 1500,
+         ["--size", "ref", "--host-rulebooks", "--batch", "2",
+          "--iters", "6", "--reps", "1"]),
     ]
-    # honor explicit user flags as the first attempt
+    # explicit user flags: run exactly that configuration (still under the
+    # budget/SIGTERM umbrella), not the standard ladder
     user = [a for a in sys.argv[1:] if a != "--no-ladder"]
     if user:
-        attempts.insert(0, user + (["--no-ladder"] if False else []))
-    for att in attempts:
-        log(f"=== bench attempt: {att}")
+        attempts = [("user", 600, user)]
+
+    for tag, est, att in attempts:
+        if banked and remaining() < est + 90:
+            log(f"=== skipping {tag}: {remaining():.0f}s left < est {est}s")
+            continue
+        # always leave 45s to emit the banked result before the driver cuts
+        sub_timeout = max(min(remaining() - 45, 3300), 120)
+        log(f"=== bench attempt [{tag}]: {att} (timeout {sub_timeout:.0f}s, "
+            f"{remaining():.0f}s budget left)")
         try:
             out = subprocess.run(
                 [sys.executable, str(ROOT / "bench.py"), "--no-ladder"] + att,
-                capture_output=True, text=True, timeout=3600, cwd=str(ROOT))
+                capture_output=True, text=True, timeout=sub_timeout,
+                cwd=str(ROOT))
             sys.stderr.write(out.stderr[-4000:])
+            parsed = None
             for line in out.stdout.splitlines():
                 line = line.strip()
                 if line.startswith("{"):
-                    print(line)
-                    return True
+                    parsed = json.loads(line)
+            if parsed is None:
+                log(f"attempt [{tag}] produced no JSON (rc={out.returncode})")
+                continue
+            prior = ([{"config": banked["detail"].get("config"),
+                       "batch": banked["detail"].get("batch"),
+                       "value": banked.get("value"),
+                       "fps_int8": banked["detail"].get("fps_int8")}]
+                     + banked["detail"].get("prior_attempts", [])
+                     if banked else [])
+            if prior:
+                parsed.setdefault("detail", {})["prior_attempts"] = prior
+            banked.clear()
+            banked.update(parsed)
+            log(f"banked [{tag}]: value={parsed['value']} "
+                f"vs_baseline={parsed['vs_baseline']}")
+        except subprocess.TimeoutExpired:
+            log(f"attempt [{tag}] timed out")
         except Exception as e:  # noqa: BLE001
-            log(f"attempt failed: {e}")
-    print(json.dumps({"metric": "centerpoint_synthetic_int8_vs_bf16_fps_ratio",
-                      "value": 0.0, "unit": "x", "vs_baseline": 0.0,
-                      "detail": {"error": "all bench attempts failed "
-                                          "(TPU tunnel compile instability)"}}))
-    return False
+            log(f"attempt [{tag}] failed: {e}")
+
+    emit()
+    return bool(banked)
 
 
 if __name__ == "__main__":

@@ -85,8 +85,9 @@ class ImageVFE(nn.Module):
                 pretrained=ddn_cfg.get("ARGS", {}).get(
                     "pretrained_path", None) is not None,
                 name="ddn")(imgs, train)
+            depth_logits = out["logits"]                    # (B, h, w, D+1)
             # last bin = "beyond range" (reference frustum_to_voxel drops it)
-            depth = jax.nn.softmax(out["logits"], axis=-1)[..., :d_bins]
+            depth = jax.nn.softmax(depth_logits, axis=-1)[..., :d_bins]
             cr = cfg.FFN.get("CHANNEL_REDUCE", {})
             ch = int(cr.get("out_channels", ch))
             feats = Conv2d(ch, int(cr.get("kernel_size", 1)),
@@ -99,8 +100,10 @@ class ImageVFE(nn.Module):
                 x = Conv2d(c, 3, s, 1, use_bias=False, name=f"ffn_conv{i}")(x)
                 x = BatchNorm(name=f"ffn_norm{i}")(x, train)
                 x = relu(x)
-            depth_logits = Conv2d(d_bins, 1, name="depth_head")(x)
-            depth = jax.nn.softmax(depth_logits, axis=-1)   # (B, h, w, D)
+            # D+1 classes: the extra "beyond range" bin carries out-of-range
+            # supervision in DDNLoss (reference depth_ffn.py num_bins + 1)
+            depth_logits = Conv2d(d_bins + 1, 1, name="depth_head")(x)
+            depth = jax.nn.softmax(depth_logits, axis=-1)[..., :d_bins]
             feats = Conv2d(ch, 1, name="feat_head")(x)      # (B, h, w, C)
 
         # voxel centers -> camera frame -> image plane
@@ -168,4 +171,36 @@ class ImageVFE(nn.Module):
 
         # (B, nx, ny, nz, C) -> (B, D=nz, H=ny, W=nx, C)
         batch_dict["dense_voxel_features"] = vol.transpose(0, 3, 2, 1, 4)
+
+        if train and "depth_maps" in batch_dict:
+            # DDNLoss: depth-bin focal CE + fg/bg balancing (reference
+            # ffn/ddn_loss/ddn_loss.py:1-75, balancer.py:1-50) — the depth
+            # head's own gradient signal during CaDDN training
+            from ....utils import loss_utils
+            largs = cfg.get("FFN", {}).get("LOSS", {}).get("ARGS", {})
+            dm = batch_dict["depth_maps"]
+            lh, lw = depth_logits.shape[1:3]
+            if dm.shape[1:3] != (lh, lw):
+                # nearest-neighbor resample to the logits grid (the
+                # reference data processor pre-downsamples; synthetic
+                # pipelines may hand full-res maps)
+                ri = jnp.clip((jnp.arange(lh) * dm.shape[1]) // lh, 0,
+                              dm.shape[1] - 1)
+                ci = jnp.clip((jnp.arange(lw) * dm.shape[2]) // lw, 0,
+                              dm.shape[2] - 1)
+                dm = dm[:, ri][:, :, ci]
+            gt2d = batch_dict.get("gt_boxes2d",
+                                  jnp.zeros((dm.shape[0], 1, 4), dm.dtype))
+            loss, tb = loss_utils.ddn_loss(
+                depth_logits, dm, gt2d,
+                disc_cfg={"mode": disc_mode, "depth_min": d_min,
+                          "depth_max": d_max, "num_bins": d_bins},
+                weight=float(largs.get("weight", 3.0)),
+                alpha=float(largs.get("alpha", 0.25)),
+                gamma=float(largs.get("gamma", 2.0)),
+                fg_weight=float(largs.get("fg_weight", 13.0)),
+                bg_weight=float(largs.get("bg_weight", 1.0)),
+                downsample_factor=down)
+            batch_dict["loss"] = batch_dict.get("loss", 0.0) + loss
+            batch_dict.setdefault("tb_dict", {}).update(tb)
         return batch_dict

@@ -38,60 +38,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import engine
 
-# span granule (rows): span starts are quantized down to multiples of Q —
-# element-indexed BlockSpec starts stay tile-aligned for every dtype
-# (int8 sublane tile = 32)
-Q = 32
-# defaults; overridable per call
-DEFAULT_BM = 128          # output sites per block
-DEFAULT_S = 256           # span rows per (block, offset) — must be mult of Q
-
-
-def choose_block(capacity, cin, dtype=None):
-    """(bm, s) policy per conv shape, from v5e sweeps
-    (tools/profile_conv_paths.py, 2026-08, int8 per-conv ms at the bench
-    envelope): narrow stages are per-(block, group)-iteration overhead-bound,
-    so fewer/bigger blocks win big (C16@40k: 0.65 @512/1024 vs 0.78 @256/512;
-    C32@38k: 0.68 @512/768 vs 0.89), while wide stages prefer small spans
-    (C64@30k: 0.66 @256/512; C128@17k: 0.42 @256/384).
-
-    Third element: ``uncond_b`` — compute the span-B contribution on every
-    group (branch-free straight-line Mosaic code) instead of behind a
-    lax.cond.  Measured faster at the narrowest and widest stages (C16@40k:
-    0.56 @256/384-uncond vs 0.65 cond-best; C128@17k: 0.37 vs 0.42) and
-    slower in between (the extra matmul outweighs the branch there).
-
-    ONE shared policy for all dtypes: preps are built once per rulebook by
-    the single-core host planner, and a per-dtype prep set would double the
-    host build (~15 ms, already near the max(host, device) critical path).
-    The policy is tuned for the int8 deployment mode; measured bf16 times at
-    these configs are within noise of its own former configs."""
-    # NOTE (r2): isolated-conv sweeps (tools/profile_conv_paths.py) suggest
-    # bigger int8 blocks (C16@40k 0.632 @768/768u vs 0.762; C128@17k 0.280
-    # @512/384u vs 0.381) but every in-graph A/B REGRESSED the end-to-end
-    # int8 time (19.3 -> 20.0-20.7 ms; VMEM pressure from neighboring
-    # fusions) — the shared policy below is the measured in-graph optimum
-    # for both dtypes.  ``dtype`` is plumbed (and the host planner builds
-    # preps per distinct policy) so future per-dtype splits stay cheap to
-    # try.
-    # reference-envelope tier (2026-08 r3 sweep at 100-200k rows / 0.075 m,
-    # tools/profile_conv_paths.py --size ref): C16@160k 512/768 5.03/4.20
-    # (bf16/int8 ms) vs 5.63/4.89 @256/384u; C32@200k 512/768u 7.17/6.04
-    if cin <= 16 and capacity >= 100000:
-        return 512, 768, False
-    if cin <= 32 and capacity >= 100000:
-        return 512, 768, True
-    if cin <= 64 and capacity >= 90000:      # C64@100k: 4.23/3.58 vs
-        return 512, 768, True                # 4.39/3.70 @256/512
-    if cin <= 16 and capacity >= 512:
-        return 256, 384, True
-    if cin <= 32 and capacity >= 2048:
-        return 512, 768, False
-    if cin >= 128 and capacity >= 512:
-        return 256, 384, True
-    if capacity >= 512:
-        return 256, 512, False
-    return DEFAULT_BM, DEFAULT_S, False
+# block/capacity policy lives in ONE module (policy.py) shared with the
+# host planner and the native runtime wrappers; re-exported here for
+# existing importers
+from .policy import (Q, DEFAULT_BM, DEFAULT_S,  # noqa: F401
+                     choose_block, overflow_cap)
 
 
 def _kernel_v2(ss_ref, anchor_ref, code_ref, f3_hbm, w_ref, out_ref, *,
@@ -462,19 +413,6 @@ def gather_conv_chunked_fast(features, keys, xcol, nx, chunk_idx, weight,
     if out_valid is not None:
         out = out * out_valid[:, None].astype(out.dtype)
     return out
-
-
-def overflow_cap(m):
-    # measured real overflow on lidar-like scenes: <100 entries at 40k rows
-    # / 0.1 m, but 1.6-6% of rows at the REFERENCE envelope (160k rows /
-    # 0.075 m: finer grids mean shorter x-runs per (z,y) row, so a block's
-    # anchors cross more rows than two spans cover).  m//12 (8.3%) keeps
-    # ~40% headroom over the worst measured stage; the ok-flag still falls
-    # back to the exact gather path if a frame ever exceeds it.  Oversizing
-    # costs real MXU time (apply_overflow runs G masked GEMMs over ALL cap
-    # rows every conv), so don't round up further.
-    # MUST match the native twin (q3d_tpu/runtime/native.py chunk_prep*).
-    return max(512, m // 12)
 
 
 def prepare_chunk(chunk_idx, capacity, bm=DEFAULT_BM, s=DEFAULT_S, cap=None):

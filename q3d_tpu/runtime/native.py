@@ -303,31 +303,79 @@ def flatten_sort_coords(voxel_coords, spatial):
     return out
 
 
+# sticky per-stage overflow-cap memo: (m, g, bm, s, capacity) -> ladder
+# cap (capacity distinguishes a subm table, capacity == m, from a
+# downsample table of the same row count whose anchors index the previous
+# stage — their overflow profiles differ by 20x).  Grows
+# only (a transient spike permanently widens the rung; shapes must stay
+# stable across streamed frames or every window recompiles).  Seeded lazily
+# from the first frame's TRUE count (the C++ prep counts it in-pass).
+_CAP_MEMO = {}
+
+
+def _resolve_cap(m, g, bm, s, capacity):
+    from ..ops.spconv import policy
+    return _CAP_MEMO.get((m, g, bm, s, capacity), policy.CAP_GRANULE)
+
+
+def _update_cap(m, g, bm, s, capacity, count, cap):
+    """Post-call memo update; returns the retry cap when the list burst.
+
+    The memo grows ONLY on a burst (count > cap): frames that fit keep the
+    current rung, so steady-state streaming sees one stable shape per stage
+    instead of drifting caps that would recompile every window."""
+    from ..ops.spconv import policy
+    key = (m, g, bm, s, capacity)
+    if count <= cap:
+        _CAP_MEMO.setdefault(key, cap)
+        return None
+    want = max(policy.overflow_cap(m, measured=count), cap)
+    _CAP_MEMO[key] = max(_CAP_MEMO.get(key, 0), want)
+    return _CAP_MEMO[key] if _CAP_MEMO[key] > cap else None
+
+
 def chunk_prep(chunk, capacity, bm=128, s=256, q=32, cap=None):
     """One-hot-kernel prep for a chunked rulebook — host twin of
     ``pallas_conv.prepare_chunk`` (same tuple layout, pinned equal by
     tests/test_native_runtime.py): -> (anchor (Mpad, G), code (Mpad, G),
-    span_q (3, NB, G), (midx, ga, gcode, gslot, ok), ok)."""
+    span_q (3, NB, G), (midx, ga, gcode, gslot, ok), ok).
+
+    cap=None: sized from the MEASURED overflow count via the sticky ladder
+    memo (policy.overflow_cap) — first call per stage may run the C++ prep
+    twice (count discovery, then the right-sized list); steady state is one
+    pass with a tight cap (ADVICE r3: oversized caps cost real MXU time in
+    apply_overflow)."""
     l = _load()
     assert l is not None
     chunk = np.ascontiguousarray(chunk, np.int32)
     m, g = chunk.shape
-    if cap is None:
-        cap = max(512, m // 12)  # must match pallas_conv.overflow_cap
+    auto = cap is None
+    if auto:
+        cap = _resolve_cap(m, g, bm, s, int(capacity))
     mpad = ((m + bm - 1) // bm) * bm
     nb = mpad // bm
     anchor = _empty((mpad, g), np.int32)
     code = _empty((mpad, g), np.int32)
-    span_q = _empty((3, nb, g), np.int32)
-    midx = _empty(cap, np.int32)
-    ga = _empty(cap, np.int32)
-    gcode = _empty(cap, np.int32)
-    gslot = _empty(cap, np.int32)
-    ok = l.chunk_prep(_i32(chunk), m, g, int(capacity), bm, s, q, cap,
-                      _i32(anchor), _i32(code), _i32(span_q),
-                      _i32(midx), _i32(ga), _i32(gcode), _i32(gslot))
-    okb = np.bool_(ok == 1)
-    return anchor, code, span_q, (midx, ga, gcode, gslot, okb), okb
+
+    def run(cap):
+        span_q = _empty((3, nb, g), np.int32)
+        midx = _empty(cap, np.int32)
+        ga = _empty(cap, np.int32)
+        gcode = _empty(cap, np.int32)
+        gslot = _empty(cap, np.int32)
+        count = l.chunk_prep(_i32(chunk), m, g, int(capacity), bm, s, q, cap,
+                             _i32(anchor), _i32(code), _i32(span_q),
+                             _i32(midx), _i32(ga), _i32(gcode), _i32(gslot))
+        return span_q, (midx, ga, gcode, gslot), count
+
+    span_q, ovf, count = run(cap)
+    if auto:
+        retry = _update_cap(m, g, bm, s, int(capacity), count, cap)
+        if retry is not None:
+            cap = retry
+            span_q, ovf, count = run(cap)
+    okb = np.bool_(count <= cap)
+    return anchor, code, span_q, (*ovf, okb), okb
 
 
 def chunk_prep_spans(chunk, capacity, bm=128, s=256, q=32, cap=None):
@@ -335,25 +383,37 @@ def chunk_prep_spans(chunk, capacity, bm=128, s=256, q=32, cap=None):
     device derives anchor/code from the chunk table itself, see
     ``pallas_conv.complete_prep``).  Returns (span_q (3, NB, G) int32,
     (midx, ga, gcode, gslot, ok)) — bit-equal to the matching slices of
-    ``chunk_prep``/``pallas_conv.prepare_chunk``."""
+    ``chunk_prep``/``pallas_conv.prepare_chunk``.  cap=None auto-sizes
+    from the measured overflow count (see ``chunk_prep``)."""
     l = _load()
     assert l is not None
     chunk = np.ascontiguousarray(chunk, np.int32)
     m, g = chunk.shape
-    if cap is None:
-        cap = max(512, m // 12)  # must match pallas_conv.overflow_cap
+    auto = cap is None
+    if auto:
+        cap = _resolve_cap(m, g, bm, s, int(capacity))
     mpad = ((m + bm - 1) // bm) * bm
     nb = mpad // bm
-    span_q = _empty((3, nb, g), np.int32)
-    midx = _empty(cap, np.int32)
-    ga = _empty(cap, np.int32)
-    gcode = _empty(cap, np.int32)
-    gslot = _empty(cap, np.int32)
-    ok = l.chunk_prep2(_i32(chunk), m, g, int(capacity), bm, s, q, cap,
-                       _i32(span_q), _i32(midx), _i32(ga), _i32(gcode),
-                       _i32(gslot))
-    okb = np.bool_(ok == 1)
-    return span_q, (midx, ga, gcode, gslot, okb)
+
+    def run(cap):
+        span_q = _empty((3, nb, g), np.int32)
+        midx = _empty(cap, np.int32)
+        ga = _empty(cap, np.int32)
+        gcode = _empty(cap, np.int32)
+        gslot = _empty(cap, np.int32)
+        count = l.chunk_prep2(_i32(chunk), m, g, int(capacity), bm, s, q,
+                              cap, _i32(span_q), _i32(midx), _i32(ga),
+                              _i32(gcode), _i32(gslot))
+        return span_q, (midx, ga, gcode, gslot), count
+
+    span_q, ovf, count = run(cap)
+    if auto:
+        retry = _update_cap(m, g, bm, s, int(capacity), count, cap)
+        if retry is not None:
+            cap = retry
+            span_q, ovf, count = run(cap)
+    okb = np.bool_(count <= cap)
+    return span_q, (*ovf, okb)
 
 
 def build_voxel_backbone_books(voxel_coords, sparse_shape, caps):

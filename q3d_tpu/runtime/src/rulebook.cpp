@@ -864,7 +864,8 @@ int downsample_chunk_rulebook2(const int32_t* coords, int64_t n, int nd,
 //   anchor/code: (mpad, g) int32, mpad = ceil(m/bm)*bm, pads -1 / 0
 //   span_q:      (3, mpad/bm, g) int32 [span_a_q, span_b_q, use_b]
 //   ovf:         midx/ga/gcode/gslot (cap,) int32, -1/-1/0/0 padded
-// Returns 1 when the overflow list fit (ok), else 0.
+// Returns the TRUE overflow count (entries beyond cap are counted but not
+// written); the caller derives ok = count <= cap.
 // GT: compile-time group count (0 = generic); the g==9 instantiation lets
 // the compiler fully unroll and vectorize the per-row group loop.
 template <int GT>
@@ -950,7 +951,10 @@ static int chunk_prep_impl(const int32_t* chunk, int64_t m, int g_rt,
     for (int64_t jj = ovf_count < cap ? ovf_count : cap; jj < cap; ++jj) {
         midx[jj] = -1; ga[jj] = -1; gcode[jj] = 0; gslot[jj] = 0;
     }
-    return ovf_count <= cap ? 1 : 0;
+    // return the TRUE overflow count (not just ok): the wrapper
+    // derives ok = count <= cap and can re-run with a measured,
+    // ladder-quantized cap (q3d_tpu/ops/spconv/policy.py)
+    return (int)(ovf_count > 2147483647 ? 2147483647 : ovf_count);
 }
 
 extern "C" int chunk_prep(const int32_t* chunk, int64_t m, int g,
@@ -1064,7 +1068,10 @@ static int chunk_prep2_impl(const int32_t* chunk, int64_t m, int g_rt,
     for (int64_t jj = ovf_count < cap ? ovf_count : cap; jj < cap; ++jj) {
         midx[jj] = -1; ga[jj] = -1; gcode[jj] = 0; gslot[jj] = 0;
     }
-    return ovf_count <= cap ? 1 : 0;
+    // return the TRUE overflow count (not just ok): the wrapper
+    // derives ok = count <= cap and can re-run with a measured,
+    // ladder-quantized cap (q3d_tpu/ops/spconv/policy.py)
+    return (int)(ovf_count > 2147483647 ? 2147483647 : ovf_count);
 }
 
 extern "C" int chunk_prep2(const int32_t* chunk, int64_t m, int g,

@@ -213,3 +213,76 @@ def _boxes3d_diou(boxes_a, boxes_b):
     hull = jnp.maximum(max_a, max_b) - jnp.minimum(min_a, min_b)
     diag2 = (hull ** 2).sum(-1)
     return iou - center_d2 / jnp.clip(diag2, 1e-6, None)
+
+
+def compute_fg_mask(gt_boxes2d, shape, downsample_factor=1):
+    """Foreground pixel mask from 2D box labels (reference
+    ``loss_utils.compute_fg_mask:237``, vectorized — the reference loops
+    boxes and slices; XLA wants one broadcast compare).
+
+    gt_boxes2d: (B, N, 4) [u1, v1, u2, v2] in full-resolution pixels
+    (zero rows = padding); shape: (B, H, W) of the downsampled depth map.
+    Box corners are floored/ceiled AFTER the downsample divide, matching
+    the reference order."""
+    b, h, w = shape
+    boxes = gt_boxes2d / downsample_factor
+    u1 = jnp.floor(boxes[..., 0])
+    v1 = jnp.floor(boxes[..., 1])
+    u2 = jnp.ceil(boxes[..., 2])
+    v2 = jnp.ceil(boxes[..., 3])
+    live = (gt_boxes2d[..., 2] > gt_boxes2d[..., 0]) & \
+           (gt_boxes2d[..., 3] > gt_boxes2d[..., 1])        # (B, N)
+    uu = jnp.arange(w, dtype=boxes.dtype)
+    vv = jnp.arange(h, dtype=boxes.dtype)
+    in_u = (uu[None, None, :] >= u1[..., None]) & \
+           (uu[None, None, :] < u2[..., None])              # (B, N, W)
+    in_v = (vv[None, None, :] >= v1[..., None]) & \
+           (vv[None, None, :] < v2[..., None])              # (B, N, H)
+    fg = jnp.einsum("bnh,bnw->bhw",
+                    (in_v & live[..., None]).astype(jnp.float32),
+                    in_u.astype(jnp.float32)) > 0
+    return fg
+
+
+def bin_depths_target(depth_map, mode, depth_min, depth_max, num_bins):
+    """Depth map [m] -> integer bin target with the out-of-range overflow
+    bin (reference ``transform_utils.bin_depths:56`` with target=True):
+    indices outside [0, num_bins] or non-finite land in bin num_bins."""
+    from ..models.backbones_3d.vfe.image_vfe import depth_bin_index
+    idx = depth_bin_index(depth_map, mode, depth_min, depth_max, num_bins)
+    bad = (idx < 0) | (idx > num_bins) | ~jnp.isfinite(idx)
+    return jnp.where(bad, num_bins, idx).astype(jnp.int32)
+
+
+def focal_loss_sparse_labels(logits, target, alpha=0.25, gamma=2.0):
+    """Per-pixel multi-class focal loss, kornia ``FocalLoss`` semantics
+    (reduction='none', scalar alpha): -alpha * (1 - p_t)^gamma * log p_t
+    over integer class targets.  logits (..., C); target (...) int."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    logpt = jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
+    pt = jnp.exp(logpt)
+    return -alpha * (1.0 - pt) ** gamma * logpt
+
+
+def ddn_loss(depth_logits, depth_maps, gt_boxes2d, disc_cfg, weight=3.0,
+             alpha=0.25, gamma=2.0, fg_weight=13.0, bg_weight=1.0,
+             downsample_factor=1):
+    """Depth-distribution-network loss (reference
+    ``ffn/ddn_loss/ddn_loss.py:1-75`` + ``balancer.py:1-50``): bin the
+    lidar-derived depth map into D+1 classes (incl. overflow), per-pixel
+    focal CE against the DDN logits, then foreground/background balancing
+    from 2D boxes.  Both partial sums divide by the TOTAL pixel count
+    (reference Balancer: num_pixels = fg + bg), so the result equals
+    mean(loss * per-pixel weights).
+
+    depth_logits: (B, H, W, D+1) — channels-last (reference is NCHW).
+    Returns (scalar loss, tb_dict)."""
+    target = bin_depths_target(depth_maps, **disc_cfg)
+    loss = focal_loss_sparse_labels(depth_logits, target, alpha, gamma)
+    fg = compute_fg_mask(gt_boxes2d, loss.shape, downsample_factor)
+    fgf = fg.astype(loss.dtype)
+    num_pixels = float(np.prod(loss.shape))
+    fg_loss = (loss * fgf).sum() * fg_weight / num_pixels
+    bg_loss = (loss * (1.0 - fgf)).sum() * bg_weight / num_pixels
+    total = (fg_loss + bg_loss) * weight
+    return total, {"ddn_loss": total, "fg_loss": fg_loss, "bg_loss": bg_loss}

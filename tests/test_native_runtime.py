@@ -133,3 +133,67 @@ def test_chunk_prep_matches_pallas_prepare():
         if bool(got[4]):
             for a, b in zip(comp[3][:4], got[3][:4]):
                 np.testing.assert_array_equal(np.asarray(a), b)
+
+
+def test_cap_policy_sweep_python_equals_native():
+    """VERDICT r3 #5: ONE policy table (ops/spconv/policy.py) drives the
+    overflow-cap + block choice on both the python and native prep paths.
+    Sweep realistic capacities {1k, 40k, 100k, 160k}: native auto-cap must
+    (a) land on a policy ladder rung, (b) fit the true count (ok=True),
+    and (c) match pallas_conv.prepare_chunk bit-for-bit at the same cap."""
+    import jax.numpy as jnp
+    from q3d_tpu.ops.spconv import pallas_conv, policy
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.RandomState(11)
+    for n_vox, spatial in ((1000, (6, 128, 128)), (40000, (41, 1024, 1024)),
+                           (100000, (41, 1440, 1440)),
+                           (160000, (41, 1440, 1440))):
+        nz, ny, nx = spatial
+        # lidar-like synthetic occupancy: cluster runs along x
+        n_runs = max(n_vox // 6, 1)
+        zy = np.stack([rng.randint(0, nz, n_runs),
+                       rng.randint(0, ny, n_runs)], 1)
+        xs = rng.randint(0, max(nx - 8, 1), n_runs)
+        coords = []
+        for (z, y), x0 in zip(zy, xs):
+            run = rng.randint(2, 9)
+            for dx in range(run):
+                coords.append((0, z, y, min(x0 + dx, nx - 1)))
+        coords = np.array(coords[:n_vox], np.int32)
+        key = ((coords[:, 1].astype(np.int64) * ny + coords[:, 2]) * nx
+               + coords[:, 3])
+        coords = coords[np.argsort(np.unique(key, return_index=True)[1])]
+        uniq = np.unique(key)
+        zz = (uniq // (ny * nx)).astype(np.int32)
+        yy = ((uniq // nx) % ny).astype(np.int32)
+        xx = (uniq % nx).astype(np.int32)
+        coords = np.stack([np.zeros_like(zz), zz, yy, xx], 1)
+        cap_rows = coords.shape[0]
+
+        chunk = native.subm_chunk_rulebook(coords, spatial, 3, 1)
+        bm, s, _ = policy.choose_block(cap_rows, 64, "int8")
+
+        native._CAP_MEMO.clear()
+        got = native.chunk_prep(chunk, cap_rows, bm=bm, s=s)
+        cap_used = got[3][0].shape[0]
+        assert cap_used % policy.CAP_GRANULE == 0
+        assert bool(got[4]), f"auto cap must fit at n={n_vox}"
+        # steady state: second call reuses the SAME rung (shape-stable)
+        again = native.chunk_prep(chunk, cap_rows, bm=bm, s=s)
+        assert again[3][0].shape[0] == cap_used
+
+        ref = pallas_conv.prepare_chunk(jnp.asarray(chunk), cap_rows,
+                                        bm=bm, s=s, cap=cap_used)
+        for i in (0, 1, 2):
+            np.testing.assert_array_equal(np.asarray(ref[i]), got[i])
+        for a, b in zip(ref[3][:4], got[3][:4]):
+            np.testing.assert_array_equal(np.asarray(a), b)
+        assert bool(ref[4]) == bool(got[4])
+
+        red = native.chunk_prep_spans(chunk, cap_rows, bm=bm, s=s)
+        assert red[1][0].shape[0] == cap_used
+        for a, b in zip(red[1][:4], got[3][:4]):
+            np.testing.assert_array_equal(a, b)
