@@ -531,18 +531,21 @@ def _ladder():
     def remaining():
         return budget - (time.time() - t0)
 
-    # (tag, est seconds with a warm compile cache, argv)
+    # (tag, est seconds, argv).  Estimates assume COLD remote compiles:
+    # the axon tunnel's AOT compiler does NOT populate the persistent JAX
+    # cache (measured r4: bf16 ~3 min, int8 calibration + loop ~15 min at
+    # the bench envelope), so every attempt pays full compile time.
     attempts = [
-        ("bench", 420,
+        ("bench", 1500,
          ["--size", "bench", "--host-rulebooks", "--iters", "20",
           "--reps", "2", "--no-streaming"]),
-        ("ref", 900,
+        ("ref", 2400,
          ["--size", "ref", "--host-rulebooks", "--iters", "8",
           "--reps", "1", "--no-streaming"]),
         # batch 2 is the best int8 serving point at the reference envelope
         # (larger capacities -> larger MXU fraction -> int8 advantage
         # grows); streaming both dtypes = the honest end-to-end ratio
-        ("ref-b2-streaming", 1500,
+        ("ref-b2-streaming", 3000,
          ["--size", "ref", "--host-rulebooks", "--batch", "2",
           "--iters", "6", "--reps", "1"]),
     ]

@@ -90,6 +90,10 @@ def accumulate_class(dets, gts, class_name, dist_th, max_range=MAX_RANGE_M):
     fp = np.cumsum(fp)
     recall = tp / npos
     precision = tp / np.maximum(tp + fp, 1e-9)
+    # monotone precision envelope from the high-recall end (the av2 SDK /
+    # nuScenes protocol interpolation step) BEFORE sampling — raw precision
+    # can dip locally and would otherwise bias the fallback AP low
+    precision = np.maximum.accumulate(precision[::-1])[::-1]
     rec_interp = np.linspace(0, 1, 100)
     prec_interp = np.interp(rec_interp, recall, precision, right=0)
     return {"ap": float(prec_interp.mean()), "errs": errs, "npos": npos}

@@ -6,7 +6,13 @@ class-balanced sample groups ('Car:15'), PREPARE filters
 against scene + already-placed boxes, removal of scene points inside placed
 boxes (enlarged by ``REMOVE_EXTRA_WIDTH``), road-plane lifting
 (``USE_ROAD_PLANE``, reference ``put_boxes_on_road_planes`` :150-167), and
-point/annotation merging.  Omitted vs reference: shared-memory caching.
+point/annotation merging.  The reference's shared-memory cache
+(``USE_SHARED_MEMORY`` + SharedArray, :29-94,383-391) maps to a
+memory-mapped integrated database here: ``DB_DATA_PATH`` names the global
+``.npy`` built by ``tools/create_infos.py integrated`` and infos carrying
+``global_data_offset`` slice it via ``np.load(mmap_mode='r')`` — the OS
+page cache shares the mapping across dataloader processes exactly like
+SharedArray, without the /dev/shm lifecycle management.
 
 Database format (built by ``tools/create_gt_database.py``): a pickle
 ``{class_name: [ {name, path, box3d_lidar (7,), num_points_in_gt,
@@ -55,6 +61,21 @@ class DataBaseSampler:
                     "num": int(num), "pointer": len(self.db_infos[name]),
                     "indices": np.arange(len(self.db_infos[name]))}
         self.limit_whole_scene = sampler_cfg.get("LIMIT_WHOLE_SCENE", False)
+
+        # integrated (single-file) database: lazily memory-mapped on first
+        # sampled object (reference USE_SHARED_MEMORY/DB_DATA_PATH)
+        self._global_db = None
+        self._global_db_path = None
+        db_data = sampler_cfg.get("DB_DATA_PATH", None)
+        if db_data:
+            p = self.root_path / db_data[0]
+            if not p.exists():
+                p = Path(db_data[0])
+            if p.exists():
+                self._global_db_path = p
+            elif logger:
+                logger.warning(f"integrated db {db_data[0]} not found; "
+                               f"falling back to per-object files")
 
     # ------------------------------ filters -------------------------------
 
@@ -192,6 +213,12 @@ class DataBaseSampler:
         return data_dict
 
     def _load_points(self, info):
+        if "global_data_offset" in info and self._global_db_path is not None:
+            if self._global_db is None:
+                self._global_db = np.load(self._global_db_path,
+                                          mmap_mode="r")
+            s, e = info["global_data_offset"]
+            return np.array(self._global_db[s:e], np.float32)
         p = self.root_path / info["path"]
         if not p.exists():
             p = Path(info["path"])

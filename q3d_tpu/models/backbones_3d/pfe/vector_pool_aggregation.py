@@ -9,9 +9,11 @@ TPU re-design notes:
   * The reference's stacked-batch CUDA vector-pool kernels become the static
     batched ``q3d_tpu.ops.vector_pool`` grid pooling (one scatter-add per
     query, MXU-friendly MLPs on the concatenated cells).
-  * ``local_interpolation`` / ``voxel_random_choice`` neighbor strategies
-    both map to per-cell MEAN pooling here — same structured local encoding,
-    deterministic and jittable (deviation documented in docs/PARITY.md).
+  * ``local_interpolation`` (the reference default) is faithful as of r4:
+    3-NN inverse-distance interpolation at each local grid-cell center
+    (``ops.vector_pool.vector_pool_interpolate``).  ``voxel_avg_pool`` is
+    the per-cell mean; ``voxel_random_choice`` maps to the mean too
+    (deterministic stand-in, measured delta in docs/PARITY.md).
   * Sectorized proposal-centric FPS: same semantics (keep points near any
     proposal, split into azimuth sectors, FPS per sector) with static
     capacities; empty sectors degrade to repeated points which downstream
@@ -25,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ....ops.pointnet2_utils import farthest_point_sample
-from ....ops.vector_pool import vector_pool
+from ....ops.vector_pool import vector_pool, vector_pool_interpolate
 from ...layers import Linear, BatchNorm, relu
 
 
@@ -82,6 +84,8 @@ class VectorPoolAggregationMSG(nn.Module):
         red = Linear(red_c, use_bias=False, name="reduce")(features)
         B, M = new_xyz.shape[:2]
 
+        agg_type = str(cfg.get("LOCAL_AGGREGATION_TYPE",
+                               "local_interpolation"))
         group_feats = []
         for gi in range(int(cfg.NUM_GROUPS)):
             g = cfg[f"GROUP_CFG_{gi}"]
@@ -90,13 +94,23 @@ class VectorPoolAggregationMSG(nn.Module):
             r = float(g.MAX_NEIGHBOR_DISTANCE)
             ns = int(g.NEIGHBOR_NSAMPLE)
             ns = 32 if ns <= 0 else ns
-            pooled, cnt = vector_pool(
-                xyz, jnp.concatenate([xyz, red], -1), new_xyz, r,
-                nsample=ns, grid=grid, valid=valid, return_counts=True)
-            pooled = pooled.reshape(B, M, G, 3 + red_c)
-            rel = pooled[..., :3] - new_xyz[:, :, None, :]
-            x = jnp.concatenate([rel, pooled[..., 3:]], -1)
-            x = jnp.where((cnt > 0)[..., None], x, 0.0).reshape(B, M, -1)
+            if agg_type == "local_interpolation":
+                # faithful reference default: 3-NN inverse-distance
+                # interpolation at each local grid-cell center, (C + 9)
+                # per cell (r4; was per-cell mean)
+                x = vector_pool_interpolate(
+                    xyz, red, new_xyz, r, nsample=ns, grid=grid,
+                    valid=valid).reshape(B, M, -1)
+            else:
+                # voxel_avg_pool; also the stand-in for
+                # voxel_random_choice (deterministic; docs/PARITY.md)
+                pooled, cnt = vector_pool(
+                    xyz, jnp.concatenate([xyz, red], -1), new_xyz, r,
+                    nsample=ns, grid=grid, valid=valid, return_counts=True)
+                pooled = pooled.reshape(B, M, G, 3 + red_c)
+                rel = pooled[..., :3] - new_xyz[:, :, None, :]
+                x = jnp.concatenate([rel, pooled[..., 3:]], -1)
+                x = jnp.where((cnt > 0)[..., None], x, 0.0).reshape(B, M, -1)
             for i, c in enumerate(g.POST_MLPS):
                 x = Linear(c, use_bias=False, name=f"g{gi}_mlp{i}")(x)
                 x = BatchNorm(name=f"g{gi}_norm{i}")(

@@ -25,23 +25,88 @@ from .spconv_backbone import (_SparseConvBNReLU, _make_input_tensor,
                               VoxelBackBone8x)
 
 
+def gather_image_features(img_feats, centers_xyz, batch_idx, valid,
+                          lidar2cam, intrinsics, downsample=1):
+    """Per-voxel image features by center projection (reference
+    ``focal_sparse_conv.py:51-117`` construct_multimodal_features): project
+    voxel centers through lidar->camera->image, integer-truncate the pixel
+    (the reference casts ``.long()``), gather the feature map, zero
+    out-of-image voxels.
+
+    img_feats: (B, h, w, C) channels-last feature map at full-res /
+    ``downsample``; centers_xyz: (N, 3) lidar-frame centers; batch_idx:
+    (N,) int; valid: (N,) bool (padded rows).  Returns (N, C)."""
+    pts = jnp.concatenate([centers_xyz, jnp.ones_like(centers_xyz[:, :1])],
+                          axis=-1)                            # (N, 4)
+    T = lidar2cam[batch_idx]                                  # (N, 4, 4)
+    cam = jnp.einsum("nij,nj->ni", T, pts)[:, :3]
+    K = intrinsics[batch_idx]                                 # (N, 3, 3)
+    uvw = jnp.einsum("nij,nj->ni", K, cam)
+    z = jnp.clip(uvw[:, 2], 1e-3, None)
+    u = (uvw[:, 0] / z / downsample).astype(jnp.int32)        # trunc = .long()
+    v = (uvw[:, 1] / z / downsample).astype(jnp.int32)
+    h, w = img_feats.shape[1:3]
+    in_img = (u >= 0) & (u < w) & (v >= 0) & (v < h) & (cam[:, 2] > 0) & valid
+    uc = jnp.clip(u, 0, w - 1)
+    vc = jnp.clip(v, 0, h - 1)
+    g = img_feats[batch_idx, vc, uc]                          # (N, C)
+    return g * in_img[:, None].astype(g.dtype)
+
+
 class FocalSparseConv(nn.Module):
-    """Importance-gated submanifold conv (reference focal_sparse_conv.py:9)."""
+    """Importance-gated submanifold conv (reference focal_sparse_conv.py:9).
+
+    ``use_img`` (reference :203-218): per-voxel image features are
+    CONCATENATED (image first) onto the voxel features as the importance
+    conv's input, and SUMMED onto the conv output (fuse_sum=True at the
+    reference's second construct_multimodal_features call)."""
     channels: int
     indice_key: str = ""
+    use_img: bool = False
 
     @nn.compact
-    def __call__(self, st, cache, train=False):
+    def __call__(self, st, cache, train=False, img_gathered=None):
+        if self.use_img:
+            assert img_gathered is not None
+            gate_in = st.replace(features=jnp.concatenate(
+                [img_gathered.astype(st.features.dtype), st.features], -1))
+        else:
+            gate_in = st
         imp_logit = SubMConv3d(1, 3, 1, 1, use_bias=True,
                                indice_key=self.indice_key + "_imp",
-                               name="imp_conv")(st, cache).features[:, 0]
+                               name="imp_conv")(gate_in, cache).features[:, 0]
         importance = jax.nn.sigmoid(imp_logit)
         out = SubMConv3d(self.channels, 3, 1, 1,
                          indice_key=self.indice_key, name="conv")(st, cache)
+        if self.use_img:
+            # fuse_sum: image features added to the conv output (channel
+            # counts match by construction — reference channel_reduce
+            # out_channels == planes)
+            out = out.replace(features=out.features
+                              + img_gathered.astype(out.features.dtype))
         out = SparseBatchNorm(name="norm")(out, train)
         gated = jnp.maximum(out.features, 0.0) * importance[:, None]
         out = out.replace(features=gated)
         return out, imp_logit
+
+
+class _SemSegFeat2D(nn.Module):
+    """Compact image-feature net standing in for the reference's
+    SemDeepLabV3 ResNet50 layer1 + 1x1 channel reduce
+    (``focal_sparse_conv/SemanticSeg/pyramid_ffn.py``): stride-4 feature
+    map reduced to ``out_channels``.  The COCO-pretrained DeepLabV3 import
+    is environment-gated (torchvision download); the fusion topology —
+    what the detector consumes — is identical."""
+    out_channels: int = 16
+
+    @nn.compact
+    def __call__(self, imgs, train=False):
+        from ..layers import Conv2d, BatchNorm, relu
+        x = imgs
+        for i, c in enumerate((self.out_channels * 2, self.out_channels * 4)):
+            x = Conv2d(c, 3, 2, 1, use_bias=False, name=f"conv{i}")(x)
+            x = relu(BatchNorm(name=f"norm{i}")(x, train))
+        return Conv2d(self.out_channels, 1, name="reduce")(x)
 
 
 class VoxelBackBone8xFocal(VoxelBackBone8x):
@@ -55,6 +120,38 @@ class VoxelBackBone8xFocal(VoxelBackBone8x):
         x = _SparseConvBNReLU(16, 3, 1, 1, "subm", "subm1",
                               name="conv_input")(st, cache, train)
         x1, imp1 = FocalSparseConv(16, "focal1", name="focal1")(x, cache, train)
+
+        imp_mm = None
+        if self.model_cfg.get("USE_IMG", False) \
+                and "camera_imgs" in batch_dict:
+            # reference :128-150, :235-237: a dedicated multimodal focal
+            # conv at stride 1 fed by the semantic-seg image features
+            imgs = batch_dict["camera_imgs"]
+            if imgs.ndim == 5:
+                imgs = imgs[:, 0]
+            feats2d = _SemSegFeat2D(16, name="semseg")(imgs, train)
+            B = x1.batch_size
+            intr = batch_dict["camera_intrinsics"]
+            if intr.ndim == 4:
+                intr = intr[:, 0]
+            l2c = batch_dict.get("lidar2camera", None)
+            if l2c is None:
+                T = jnp.asarray([[0., -1., 0., 0.], [0., 0., -1., 0.],
+                                 [1., 0., 0., 0.], [0., 0., 0., 1.]])
+                l2c = jnp.broadcast_to(T, (B, 4, 4))
+            elif l2c.ndim == 4:
+                l2c = l2c[:, 0]
+            from ...utils import common_utils
+            centers = common_utils.get_voxel_centers(
+                x1.indices[:, 1:], 1, self.voxel_size,
+                self.point_cloud_range)
+            g = gather_image_features(
+                feats2d, centers, jnp.clip(x1.indices[:, 0], 0, None),
+                x1.valid.astype(bool), l2c, intr,
+                downsample=imgs.shape[1] // feats2d.shape[1])
+            x1, imp_mm = FocalSparseConv(
+                16, "focal_mm", use_img=True, name="conv_focal_multimodal")(
+                x1, cache, train, img_gathered=g)
 
         x2 = x1
         for blk in [_SparseConvBNReLU(32, 3, 2, 1, "spconv", "spconv2",
@@ -84,7 +181,10 @@ class VoxelBackBone8xFocal(VoxelBackBone8x):
             from ...ops.roiaware_pool3d import points_in_boxes_jax
             from ...utils import common_utils
             loss = 0.0
-            for stx, imp in ((x1, imp1), (x2, imp2)):
+            pairs = [(x1, imp1), (x2, imp2)]
+            if imp_mm is not None:
+                pairs.append((x1, imp_mm))
+            for stx, imp in pairs:
                 stride = {16: 1, 32: 2}.get(stx.num_channels, 1)
                 centers = common_utils.get_voxel_centers(
                     stx.indices[:, 1:], stride, self.voxel_size,

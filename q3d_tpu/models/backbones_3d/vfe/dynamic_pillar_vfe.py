@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...layers import Linear, BatchNorm, relu
+from ...layers import Linear, MaskedBatchNorm, relu
 
 
 class DynamicPillarVFE(nn.Module):
@@ -78,7 +78,8 @@ class DynamicPillarVFE(nn.Module):
 
         for i, out_ch in enumerate(self.model_cfg.NUM_FILTERS):
             x = Linear(out_ch, use_bias=False, name=f"pfn_linear_{i}")(x)
-            x = BatchNorm(name=f"pfn_norm_{i}")(x, train)
+            # masked BN: exclude pid == P padded rows from batch stats
+            x = MaskedBatchNorm(name=f"pfn_norm_{i}")(x, pid < P, train)
             x = relu(x)
         pooled = jnp.full((P + 1, x.shape[1]), -jnp.inf, x.dtype).at[pid].max(x)
         pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0)[:P]

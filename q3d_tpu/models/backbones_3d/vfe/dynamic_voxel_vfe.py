@@ -19,7 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...layers import Linear, BatchNorm, relu
+from ...layers import Linear, MaskedBatchNorm, relu
 
 
 class DynamicVoxelVFE(nn.Module):
@@ -89,8 +89,12 @@ class DynamicVoxelVFE(nn.Module):
             # concat the segment max back onto each point
             x = Linear(out_ch, use_bias=False, name=f"pfn_linear_{i}")(
                 x.reshape(B * N, -1)).reshape(B, N, out_ch)
-            x = BatchNorm(name=f"pfn_norm_{i}")(
-                x.reshape(B * N, -1), train).reshape(B, N, out_ch)
+            # masked BN: padded / out-of-range rows (vid == V) are
+            # excluded from the batch statistics (the reference computes
+            # stats on the compacted point list — ADVICE r3)
+            x = MaskedBatchNorm(name=f"pfn_norm_{i}")(
+                x.reshape(B * N, -1), (vid < V).reshape(B * N),
+                train).reshape(B, N, out_ch)
             x = relu(x)
 
             def seg_max(xb, vb):

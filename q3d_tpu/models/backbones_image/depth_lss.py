@@ -42,12 +42,13 @@ class DepthLSSTransform(nn.Module):
     @property
     def num_bev_features(self):
         cfg = self.model_cfg
-        # z-collapse concatenates the ZBOUND cells
-        if "ZBOUND" in cfg:
+        out_ch = int(cfg.get("OUT_CHANNEL", cfg.get("OUT_CHANNELS")))
+        # the downsample conv stack re-emits OUT_CHANNEL channels, so the
+        # z-concat width only survives when there is no downsampling
+        if "ZBOUND" in cfg and int(cfg.get("DOWNSAMPLE", 1)) == 1:
             _, _, nx = gen_dx_bx(cfg.XBOUND, cfg.YBOUND, cfg.ZBOUND)
-            return int(cfg.get("OUT_CHANNEL", cfg.get("OUT_CHANNELS"))) \
-                * int(nx[2])
-        return int(cfg.get("OUT_CHANNEL", cfg.get("OUT_CHANNELS")))
+            return out_ch * int(nx[2])
+        return out_ch
 
     def _frustum(self, d0, d1, dstep, iH, iW, fH, fW):
         """(D, fH, fW, 3) [u_pix, v_pix, depth] (reference create_frustum)."""

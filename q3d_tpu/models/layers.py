@@ -302,7 +302,43 @@ class ConvTranspose2d(nn.Module):
 
         rule = _lookup_rule(self, "conv_transpose2d")
         k = kernel
-        if rule is not None:
+        if rule is not None and rule.smoothquant is not None:
+            # SQConvT2d (reference smoothquant.py:179-270): the GEMM view
+            # of a transposed conv has the INPUT channels as its reduction
+            # columns, so the alpha migration is per-input-channel —
+            # x/scale @ (w*scale) folded back equals the transposed conv
+            # with migrated scales (F.fold is just how torch spells it).
+            # Dead code at the reference call sites
+            # (quant/quant_second.py:270-298) but implemented for parity.
+            sq = rule.smoothquant
+            w_col = jnp.maximum(jnp.max(jnp.abs(k), axis=(0, 1, 2)), 1e-5)
+            if sq.dynamic:
+                x_col = jax.lax.stop_gradient(jnp.maximum(
+                    jnp.max(jnp.abs(x), axis=(0, 1, 2)), 1e-5))
+            else:
+                amax_var = self.variable(
+                    "quant", "sq_act_amax",
+                    lambda: jnp.ones(cin, jnp.float32))
+                if self.is_mutable_collection("calib"):
+                    cmax = self.variable(
+                        "calib", "sq_act_absmax",
+                        lambda: jnp.zeros(cin, jnp.float32))
+                    cmax.value = jnp.maximum(
+                        cmax.value, jnp.max(jnp.abs(x), axis=(0, 1, 2)))
+                x_col = jnp.maximum(amax_var.value, 1e-5)
+            scale = jnp.power(x_col, sq.alpha) \
+                / jnp.power(w_col, 1.0 - sq.alpha)
+            scale = jax.lax.stop_gradient(jnp.maximum(scale, 1e-5))
+            x = x / scale
+            k = k * scale                      # (kh, kw, cout, cin) last axis
+            if rule.act is not None:
+                x = TensorQuantizer(rule.act, name="act_quant")(x)
+            if rule.weight is not None:
+                wspec = dataclasses.replace(
+                    rule.weight,
+                    axis=2 if rule.weight.axis is not None else None)
+                k = TensorQuantizer(wspec, name="weight_quant")(k)
+        elif rule is not None:
             if rule.weight is not None:
                 wspec = dataclasses.replace(
                     rule.weight, axis=2 if rule.weight.axis is not None else None)
@@ -479,6 +515,61 @@ class BatchNorm(nn.Module):
 
 class BatchNorm1d(BatchNorm):
     pass
+
+
+class _MaskedBNCore(nn.Module):
+    epsilon: float = 1e-3
+    momentum: float = 0.01
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(c, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(c, jnp.float32))
+        if train:
+            m = jnp.ones_like(x[..., :1]) if mask is None \
+                else mask.astype(x.dtype).reshape(x.shape[:-1] + (1,))
+            n = jnp.clip((m.sum()), 1.0, None)
+            mean = (x * m).reshape(-1, c).sum(0) / n
+            var = (((x - mean) ** 2) * m).reshape(-1, c).sum(0) / n
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                var = jax.lax.pmean(var, self.axis_name)
+            if not self.is_initializing():
+                ra_mean.value = (1.0 - self.momentum) * ra_mean.value \
+                    + self.momentum * mean
+                ra_var.value = (1.0 - self.momentum) * ra_var.value \
+                    + self.momentum * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm whose TRAIN-mode statistics exclude masked rows.
+
+    The reference drops invalid points before its PFN stacks
+    (dynamic_pillar_vfe.py / dynamic_voxel_vfe.py run on the compacted
+    point list), so its batch statistics never see padding; our static
+    (B, N) layout keeps padded rows and must exclude them from mean/var
+    explicitly (ADVICE r3).  Variable tree is identical to ``BatchNorm``
+    (params bn.scale/bn.bias, batch_stats bn.mean/bn.var) so ``.pth``
+    imports and existing checkpoints interchange.  Running var follows
+    flax semantics (biased), like ``BatchNorm``."""
+    epsilon: float = 1e-3
+    momentum: float = 0.01
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        return _MaskedBNCore(self.epsilon, self.momentum, self.axis_name,
+                             name="bn")(x, mask, train)
 
 
 def relu(x):

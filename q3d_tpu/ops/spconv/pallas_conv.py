@@ -144,13 +144,13 @@ def _kernel_v3(ss_ref, anchor_ref, code_ref, f3_ref, w_ref, out_ref, *,
     software-pipeline.
 
     The one-hot construction (an (BM, S) iota-vs-anchor compare per group)
-    is the kernel's VPU-bound floor at narrow channels.  The compares run
-    in int16 (2x lane density vs int32): v5e Mosaic cannot CREATE an int16
-    iota but an int32 iota truncated once outside the loop lowers fine, and
-    anchors are pre-clamped to [-1, s] (< 2^15) so equality is exact."""
+    is the kernel's VPU-bound floor at narrow channels.  It runs in int32:
+    the 2026-08 Mosaic release dropped both 16-bit minor-dim reshapes and
+    packed 16-bit vector compares ("Target does not support this
+    comparison"), so the r3 half-width 2x-lane-density trick no longer
+    lowers; int32 is the widest layout every toolchain accepts."""
     i = pl.program_id(0)
-    iota16 = jax.lax.broadcasted_iota(jnp.int32, (bm, s), 1) \
-        .astype(jnp.int16)
+    iota32 = jax.lax.broadcasted_iota(jnp.int32, (bm, s), 1)
     acc = None
     for g in range(gk):                          # static unroll
         a = anchor_ref[g]                        # (BM,)
@@ -159,8 +159,7 @@ def _kernel_v3(ss_ref, anchor_ref, code_ref, f3_ref, w_ref, out_ref, *,
         span_a = f3_ref[pl.ds(s0a, s), :]
         ila = a - s0a
         in_a = (ila >= 0) & (ila < s)
-        ila16 = jnp.clip(ila, -1, s).astype(jnp.int16)
-        oha = (iota16 == ila16[:, None]).astype(span_a.dtype)
+        oha = (iota32 == ila[:, None]).astype(span_a.dtype)
         rows = jnp.dot(oha, span_a, preferred_element_type=acc_dtype)
 
         if uncond_b:
@@ -168,8 +167,7 @@ def _kernel_v3(ss_ref, anchor_ref, code_ref, f3_ref, w_ref, out_ref, *,
             span_b = f3_ref[pl.ds(s0b, s), :]
             live_b = (ss_ref[2, i * gk + g] == 1) & ~in_a
             ilb = jnp.where(live_b, a - s0b, -1)
-            ilb16 = jnp.clip(ilb, -1, s).astype(jnp.int16)
-            ohb = (iota16 == ilb16[:, None]).astype(span_b.dtype)
+            ohb = (iota32 == ilb[:, None]).astype(span_b.dtype)
             rows2 = rows + jnp.dot(ohb, span_b,
                                    preferred_element_type=acc_dtype)
         else:
@@ -179,8 +177,7 @@ def _kernel_v3(ss_ref, anchor_ref, code_ref, f3_ref, w_ref, out_ref, *,
                 s0b = ss_ref[1, i * gk + g] * Q
                 span_b = f3_ref[pl.ds(s0b, s), :]
                 ilb = jnp.where(in_a, -1, a - s0b)
-                ilb16 = jnp.clip(ilb, -1, s).astype(jnp.int16)
-                ohb = (iota16 == ilb16[:, None]).astype(span_b.dtype)
+                ohb = (iota32 == ilb[:, None]).astype(span_b.dtype)
                 return rows + jnp.dot(ohb, span_b,
                                       preferred_element_type=acc_dtype)
 

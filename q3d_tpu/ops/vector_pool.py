@@ -46,3 +46,65 @@ def vector_pool(xyz, features, new_xyz, radius, nsample=32, grid=3,
     if return_counts:
         return flat, cnt
     return flat
+
+
+@partial(jax.jit, static_argnames=("radius", "nsample", "grid", "dist_mult"))
+def vector_pool_interpolate(xyz, features, new_xyz, radius, nsample=32,
+                            grid=3, valid=None, dist_mult=2.0):
+    """Local-interpolation vector pool (the reference's default
+    ``LOCAL_AGGREGATION_TYPE: local_interpolation`` —
+    ``pointnet2_modules.VectorPoolLocalInterpolateModule:160-246`` +
+    ``get_dense_voxels_by_center:337-359``): for each query, a grid^3 cube
+    of cell CENTERS spans [-R, R]^3; each center takes the
+    inverse-distance-weighted 3-NN interpolation of the support features,
+    concatenated with the 9 offsets to those 3 neighbors (use_xyz concat),
+    empty centers (no support within ``dist_mult * R``) = 0.
+
+    Candidate sets come from one ``ball_query(R * (1 + dist_mult))`` around
+    the query (the CUDA two-step search is unbounded per cell center; a
+    cell center sits within R*sqrt(3) of its query, so this covers every
+    neighbor within dist_mult*R of any cell center up to the static
+    ``nsample`` cap — the documented static-shape deviation).
+
+    xyz: (B, N, 3); features: (B, N, C); new_xyz: (B, M, 3)
+    -> (B, M, grid^3 * (C + 9))."""
+    cand_r = float(radius) * (1.0 + float(dist_mult))
+    idx, in_mask = ball_query(cand_r, int(nsample), xyz, new_xyz, valid)
+    sup = group_points(xyz, idx)                               # (B,M,S,3)
+    g_feats = group_points(features, idx)                      # (B,M,S,C)
+    rel = sup - new_xyz[:, :, None, :]                         # (B,M,S,3)
+
+    R = float(radius)
+    step = 2.0 * R / grid
+    g1 = jnp.arange(grid, dtype=jnp.float32) * step - R + step / 2.0
+    gx, gy, gz = jnp.meshgrid(g1, g1, g1, indexing="ij")
+    centers = jnp.stack([gx, gy, gz], -1).reshape(-1, 3)       # (G, 3)
+    G = centers.shape[0]
+
+    d = jnp.linalg.norm(rel[:, :, None, :, :] - centers[None, None, :, None, :],
+                        axis=-1)                               # (B,M,G,S)
+    ok = in_mask[:, :, None, :] & (d <= float(dist_mult) * R)
+    d = jnp.where(ok, d, jnp.inf)
+    # 3 nearest support points per cell center; weights only over the
+    # actually-found neighbors (cells with 1-2 neighbors renormalize over
+    # those instead of the reference CUDA op's fixed-3 assumption)
+    nd, ni = jax.lax.top_k(-d, 3)                              # (B,M,G,3)
+    nd = -nd
+    vmask = jnp.isfinite(nd)
+    has = vmask[..., 0]                                        # any neighbor
+    w = jnp.where(vmask, 1.0 / (jnp.where(vmask, nd, 0.0) + 1e-8), 0.0)
+    w = w / jnp.clip(w.sum(-1, keepdims=True), 1e-8, None)     # (B,M,G,3)
+
+    def gsel(a, i):
+        # a: (B,M,S,C); i: (B,M,G,3) -> (B,M,G,3,C)
+        return jax.vmap(jax.vmap(lambda s, ii: s[ii]))(a, i)
+
+    nf = gsel(g_feats, ni)                                     # (B,M,G,3,C)
+    interp = (nf * w[..., None]).sum(-2)                       # (B,M,G,C)
+    nrel = gsel(rel, ni)                                       # (B,M,G,3,3)
+    off = centers[None, None, :, None, :] - nrel               # (B,M,G,3,3)
+    off = off.reshape(off.shape[:3] + (9,))
+    out = jnp.concatenate([interp, off], -1)
+    out = jnp.where(has[..., None], out, 0.0)
+    B, M = new_xyz.shape[:2]
+    return out.reshape(B, M, G * out.shape[-1])

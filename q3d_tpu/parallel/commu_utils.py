@@ -62,3 +62,33 @@ def pmean(x, axis_name="data"):
 def concat_all_gather(x, axis_name="data"):
     """(reference concat_all_gather:172) in-jit all-gather along the mesh."""
     return jax.lax.all_gather(x, axis_name, tiled=True)
+
+
+def merge_results_dist(result_part, size, tmpdir=None):
+    """Ordered multi-process eval-result merge (reference
+    ``common_utils.merge_results_dist:229-251``).  The reference pickles
+    each rank's part to a shared filesystem and rank 0 interleaves
+    ``zip(*parts)`` back to dataset order; here the pickled parts ride a
+    padded-uint8 ``process_allgather`` (no NFS rendezvous) and EVERY
+    process gets the ordered list (the reference returns None off-rank-0).
+    ``tmpdir`` is accepted for signature parity and unused."""
+    if jax.process_count() == 1:
+        return list(result_part)[:size]
+    import itertools
+    import pickle
+    from jax.experimental import multihost_utils
+
+    blob = np.frombuffer(pickle.dumps(list(result_part)), np.uint8)
+    sizes = np.asarray(multihost_utils.process_allgather(
+        jnp.asarray([blob.size], jnp.int64))).ravel()
+    m = int(sizes.max())
+    pad = np.zeros(m, np.uint8)
+    pad[:blob.size] = blob
+    gathered = np.asarray(multihost_utils.process_allgather(
+        jnp.asarray(pad)))
+    parts = [pickle.loads(gathered[i, :int(sizes[i])].tobytes())
+             for i in range(gathered.shape[0])]
+    ordered = []
+    for tup in itertools.zip_longest(*parts):
+        ordered.extend(t for t in tup if t is not None)
+    return ordered[:size]

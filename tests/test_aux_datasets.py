@@ -322,3 +322,61 @@ def test_pandaset_sequence_loading(tmp_path):
                           root_path=tmp_path, training=False)
     item = ds2[0]
     assert item["voxels"].shape[0] == 2000
+
+
+def test_integrated_database_roundtrip(tmp_path):
+    """tools/create_infos.py integrated (reference
+    process_tools/create_integrated_database.py:1-86): per-object .bin
+    files merge into one global .npy with per-info global_data_offset, and
+    DataBaseSampler serves identical points from the mmap as from files."""
+    import pickle
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str((Path(__file__).parent.parent / "tools")))
+    from create_infos import create_integrated_database
+    from q3d_tpu.config import EDict
+    from q3d_tpu.datasets.augmentor.database_sampler import DataBaseSampler
+
+    rng = np.random.RandomState(3)
+    db = {"Car": [], "Pedestrian": []}
+    for c, n_obj in (("Car", 3), ("Pedestrian", 2)):
+        for i in range(n_obj):
+            pts = rng.randn(10 + i, 4).astype(np.float32)
+            rel = f"gt_db/{c}_{i}.bin"
+            (tmp_path / "gt_db").mkdir(exist_ok=True)
+            pts.tofile(tmp_path / rel)
+            db[c].append({
+                "name": c, "path": rel, "num_points_in_gt": pts.shape[0],
+                "difficulty": 0,
+                "box3d_lidar": np.array([i, 0, 0, 4, 2, 1.5, 0],
+                                        np.float32)})
+    info_p = tmp_path / "dbinfos_train.pkl"
+    with open(info_p, "wb") as f:
+        pickle.dump(db, f)
+
+    out = create_integrated_database(str(info_p), "db_global",
+                                     num_point_features=4)
+    assert out.exists()
+    with open(info_p, "rb") as f:
+        db2 = pickle.load(f)
+    # offsets are contiguous in iteration order and slice back exactly
+    glob = np.load(out)
+    for c in ("Car", "Pedestrian"):
+        for i, info in enumerate(db2[c]):
+            s0, e0 = info["global_data_offset"]
+            want = np.fromfile(tmp_path / info["path"],
+                               np.float32).reshape(-1, 4)
+            np.testing.assert_array_equal(glob[s0:e0], want)
+
+    cfg = EDict({"DB_INFO_PATH": ["dbinfos_train.pkl"],
+                 "DB_DATA_PATH": ["db_global.npy"],
+                 "SAMPLE_GROUPS": ["Car:2", "Pedestrian:1"],
+                 "NUM_POINT_FEATURES": 4})
+    sampler = DataBaseSampler(tmp_path, cfg, ["Car", "Pedestrian"])
+    assert sampler._global_db_path is not None
+    for info in db2["Car"]:
+        got = sampler._load_points(info)
+        want = np.fromfile(tmp_path / info["path"],
+                           np.float32).reshape(-1, 4)
+        np.testing.assert_array_equal(got, want)

@@ -102,3 +102,60 @@ def test_vector_pool_structure():
     np.testing.assert_allclose(cells[nz[0]], [1.0, 2.0])
     # (+,+,+) octant with grid=2 -> cell index (1,1,1) = 7
     assert nz[0] == 7
+
+
+def test_vector_pool_interpolate_oracle():
+    """vector_pool_interpolate == numpy oracle of the reference chain
+    (get_dense_voxels_by_center grid centers + 3-NN inverse-distance
+    interpolation + use_xyz offset concat, pointnet2_modules.py:160-380):
+    checked per (query, cell) on a small random cloud."""
+    from q3d_tpu.ops.vector_pool import vector_pool_interpolate
+
+    rng = np.random.RandomState(2)
+    B, N, C, M = 1, 40, 5, 3
+    grid, R, mult = 2, 1.0, 2.0
+    xyz = rng.uniform(-3, 3, (B, N, 3)).astype(np.float32)
+    feats = rng.randn(B, N, C).astype(np.float32)
+    new_xyz = rng.uniform(-1, 1, (B, M, 3)).astype(np.float32)
+
+    got = np.asarray(vector_pool_interpolate(
+        jnp.asarray(xyz), jnp.asarray(feats), jnp.asarray(new_xyz),
+        R, nsample=64, grid=grid, dist_mult=mult))
+    G = grid ** 3
+    got = got.reshape(B, M, G, C + 9)
+
+    # oracle grid centers (reference get_dense_voxels_by_center: offsets
+    # -R+R/n .. R-R/n step 2R/n, meshgrid 'ij')
+    step = 2 * R / grid
+    g1 = np.arange(grid) * step - R + step / 2
+    cx, cy, cz = np.meshgrid(g1, g1, g1, indexing="ij")
+    centers = np.stack([cx, cy, cz], -1).reshape(-1, 3)
+
+    for m in range(M):
+        # candidate set: within R*(1+mult) of the query (static-shape cap)
+        cand = np.where(np.linalg.norm(xyz[0] - new_xyz[0, m],
+                                       axis=-1) <= R * (1 + mult))[0]
+        for g in range(G):
+            c = new_xyz[0, m] + centers[g]
+            d = np.linalg.norm(xyz[0, cand] - c, axis=-1)
+            ok = d <= mult * R
+            if not ok.any():
+                np.testing.assert_array_equal(got[0, m, g],
+                                              np.zeros(C + 9))
+                continue
+            di = d[ok]
+            ci = cand[ok]
+            order = np.argsort(di, kind="stable")[:3]
+            w = 1.0 / (di[order] + 1e-8)
+            w = w / w.sum()
+            want_f = (feats[0, ci[order]] * w[:, None]).sum(0)
+            np.testing.assert_allclose(got[0, m, g, :C], want_f,
+                                       rtol=2e-4, atol=2e-5)
+            # offsets: grid center minus each selected neighbor (pad with
+            # the nearest when fewer than 3 found is NOT required — the
+            # kernel zeroes the weight; only check the found ones)
+            offs = got[0, m, g, C:].reshape(3, 3)
+            for j, oi in enumerate(order):
+                want_o = centers[g] - (xyz[0, ci[oi]] - new_xyz[0, m])
+                np.testing.assert_allclose(offs[j], want_o, rtol=2e-4,
+                                           atol=2e-5)

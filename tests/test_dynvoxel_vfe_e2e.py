@@ -70,3 +70,44 @@ def test_dynamic_voxel_vfe_centerpoint_e2e():
     out = model.apply(variables, batch, train=False)
     assert out["final_boxes"].shape[0] == 2
     assert np.isfinite(np.asarray(out["final_boxes"])).all()
+
+
+def test_masked_batchnorm_excludes_padded_rows():
+    """ADVICE r3: train-mode BN statistics must exclude padded rows.
+    MaskedBatchNorm on [real; garbage-masked] rows == BatchNorm on the
+    real rows alone (params AND running stats), and the variable tree is
+    interchangeable with BatchNorm's."""
+    import jax
+    import jax.numpy as jnp
+    from q3d_tpu.models.layers import BatchNorm, MaskedBatchNorm
+
+    rng = np.random.RandomState(0)
+    real = jnp.asarray(rng.randn(20, 8).astype(np.float32))
+    junk = jnp.asarray(1e3 * rng.randn(12, 8).astype(np.float32))
+    x = jnp.concatenate([real, junk])
+    mask = jnp.concatenate([jnp.ones(20, bool), jnp.zeros(12, bool)])
+
+    mbn = MaskedBatchNorm()
+    vars_m = mbn.init(jax.random.PRNGKey(0), x, mask, train=True)
+    bn = BatchNorm()
+    vars_b = bn.init(jax.random.PRNGKey(0), real, train=True)
+    # identical variable tree (checkpoint-interchangeable)
+    jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: a.shape == b.shape, vars_m, vars_b))
+
+    y_m, mut_m = mbn.apply(vars_m, x, mask, train=True,
+                           mutable=["batch_stats"])
+    y_b, mut_b = bn.apply(vars_b, real, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y_m[:20]), np.asarray(y_b),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(mut_m["batch_stats"]["bn"]["mean"]),
+        np.asarray(mut_b["batch_stats"]["bn"]["mean"]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(mut_m["batch_stats"]["bn"]["var"]),
+        np.asarray(mut_b["batch_stats"]["bn"]["var"]), rtol=1e-3, atol=1e-4)
+
+    # eval mode uses running stats and ignores the mask entirely
+    y_e = mbn.apply(mut_m | {"params": vars_m["params"]}, x, None,
+                    train=False)
+    assert np.isfinite(np.asarray(y_e)).all()

@@ -403,3 +403,42 @@ def test_no_list_parity_transfusion():
                and k in ("linear", "conv1d")}
     assert dec_lin and dec_lin <= quantized, dec_lin & excluded
     assert any(p.startswith("backbone_3d.conv2") for p in quantized)
+
+
+def test_sqconvt2d_matches_plain_transposed_conv():
+    """SQConvT2d (reference smoothquant.py:179-270, dead code at reference
+    call sites — implemented for parity): with quantizers disabled the
+    per-input-channel alpha migration must cancel exactly (x/s @ w*s ==
+    x @ w), proving the GEMM+fold form equals the transposed conv; with
+    8-bit fake-quant on, outputs stay close to FP."""
+    import jax
+    import jax.numpy as jnp
+    from q3d_tpu.models.layers import ConvTranspose2d
+    from q3d_tpu.quant.rules import (LayerRule, QuantRules, SmoothQuantCfg,
+                                     quant_rules_scope)
+    from q3d_tpu.quant.tensor_quant import QuantSpec
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 6, 5, 8).astype(np.float32))
+    m = ConvTranspose2d(4, 3, 2, 1)
+    v = m.init(jax.random.PRNGKey(0), x)
+    y_fp = m.apply(v, x)
+
+    rules_nq = QuantRules(rules=(LayerRule(
+        layer_kinds=("conv_transpose2d",), weight=None, act=None,
+        smoothquant=SmoothQuantCfg(alpha=0.5, dynamic=True)),))
+    with quant_rules_scope(rules_nq):
+        y_sq = m.apply(v, x)
+    np.testing.assert_allclose(np.asarray(y_sq), np.asarray(y_fp),
+                               rtol=1e-4, atol=1e-5)
+
+    rules_q = QuantRules(rules=(LayerRule(
+        layer_kinds=("conv_transpose2d",),
+        weight=QuantSpec(num_bits=8, axis=0, dynamic=True),
+        act=QuantSpec(num_bits=8, axis=None, dynamic=True),
+        smoothquant=SmoothQuantCfg(alpha=0.5, dynamic=True)),))
+    with quant_rules_scope(rules_q):
+        y_q, _ = m.apply(v, x, mutable=["quant"])
+    err = np.abs(np.asarray(y_q) - np.asarray(y_fp)).max()
+    ref = np.abs(np.asarray(y_fp)).max()
+    assert err < 0.05 * ref, (err, ref)

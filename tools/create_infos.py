@@ -21,8 +21,15 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("dataset",
                         choices=["kitti", "nuscenes", "waymo", "once",
-                                 "lyft", "argo2", "pandaset", "custom"])
-    parser.add_argument("--cfg_file", required=True)
+                                 "lyft", "argo2", "pandaset", "custom",
+                                 "integrated"])
+    parser.add_argument("--cfg_file", default=None)
+    parser.add_argument("--src_db_info", default=None,
+                        help="integrated only: source db-info pickle")
+    parser.add_argument("--new_db_name", default="gt_database_global",
+                        help="integrated only: output .npy stem")
+    parser.add_argument("--num_point_features", type=int, default=4,
+                        help="integrated only: channels per point")
     parser.add_argument("--data_path", required=True)
     parser.add_argument("--save_path", default=None)
     parser.add_argument("--with_gt_database", action="store_true")
@@ -32,6 +39,13 @@ def main():
                         help="nuscenes only (default: cfg MAX_SWEEPS)")
     args = parser.parse_args()
 
+    if args.dataset == "integrated":
+        assert args.src_db_info, "--src_db_info required"
+        create_integrated_database(args.src_db_info, args.new_db_name,
+                                   args.num_point_features)
+        return
+
+    assert args.cfg_file, "--cfg_file required"
     from q3d_tpu.config import cfg_from_yaml_file, EDict
     cfg = cfg_from_yaml_file(args.cfg_file, EDict())
     save_path = args.save_path or args.data_path
@@ -109,6 +123,70 @@ def main():
     else:
         print("custom dataset: point/label files are consumed directly; "
               "no info generation required")
+
+
+def create_integrated_database(src_db_info, new_db_name,
+                               num_point_features=4):
+    """Merge a per-object GT database into ONE global .npy + offset-annotated
+    info pickle (reference
+    ``tools/process_tools/create_integrated_database.py:1-86``): each
+    object's points are concatenated in info order, every info gains
+    ``global_data_offset = (start, end)`` rows into the global array, and
+    the info pickle is rewritten in place (the reference overwrites
+    ``src_db_info`` too).  ``DataBaseSampler`` consumes the result via
+    ``DB_DATA_PATH`` with an mmap (the TPU-host equivalent of the
+    reference's SharedArray cache)."""
+    import pickle
+
+    import numpy as np
+
+    src = Path(src_db_info)
+    root = src.parent
+    with open(src, "rb") as f:
+        db_infos = pickle.load(f)
+    global_path = root / (new_db_name + ".npy")
+
+    start = 0
+    chunks = []
+    for category, class_infos in db_infos.items():
+        print(f">>> processing {category} ({len(class_infos)} objects)")
+        for info in class_infos:
+            p = root / info["path"]
+            if not p.exists():
+                p = Path(info["path"])
+            if str(p).endswith(".npy"):
+                pts = np.load(p).astype(np.float32)
+            else:
+                pts = np.fromfile(str(p), np.float32).reshape(
+                    -1, num_point_features)
+                if "num_points_in_gt" in info                         and pts.shape[0] != info["num_points_in_gt"]:
+                    # reference fallback: some exports were float64
+                    pts = np.fromfile(str(p), np.float64).reshape(
+                        -1, num_point_features).astype(np.float32)
+            n = pts.shape[0]
+            if "num_points_in_gt" in info:
+                assert n == info["num_points_in_gt"], (p, n)
+            info["global_data_offset"] = (start, start + n)
+            start += n
+            chunks.append(pts)
+
+    global_db = np.concatenate(chunks) if chunks         else np.zeros((0, num_point_features), np.float32)
+    with open(global_path, "wb") as f:
+        np.save(f, global_db)
+    with open(src, "wb") as f:
+        pickle.dump(db_infos, f)
+
+    # reference `verify`: the first object round-trips through the offsets
+    for class_infos in db_infos.values():
+        if class_infos:
+            info = class_infos[0]
+            s0, e0 = info["global_data_offset"]
+            assert np.isfinite(global_db[s0:e0]).all()
+            break
+    print(f"integrated database -> {global_path} "
+          f"({global_db.shape[0]} points)")
+    print(f"offset-annotated infos -> {src}")
+    return global_path
 
 
 if __name__ == "__main__":

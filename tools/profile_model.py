@@ -92,6 +92,17 @@ def main():
     print("cost analysis:", json.dumps(cost))
     print("memory:", json.dumps(mem))
 
+    # achieved TFLOP/s + MFU vs the v5e single-chip peak (VERDICT r3 #3);
+    # per-dtype peaks match bench.py PEAK_FLOPS
+    total_s = sum(breakdown.values())
+    if cost.get("flops", 0) > 0 and total_s > 0:
+        peak = 394e12 if args.quant == "int8" else 197e12
+        tf = cost["flops"] / total_s / 1e12
+        print(f"achieved: {tf:.2f} TFLOP/s end-to-end = "
+              f"{100 * tf * 1e12 / peak:.1f}% MFU of v5e peak "
+              f"({'int8' if args.quant == 'int8' else 'bf16'} "
+              f"{peak / 1e12:.0f} TFLOP/s)")
+
     if args.trace:
         with profiler.trace(args.trace):
             jax.block_until_ready(jax.jit(full)(variables, batch))
