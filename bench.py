@@ -297,10 +297,11 @@ def main():
         from q3d_tpu.runtime import native
         B, V = raw["voxel_coords"].shape[:2]
 
-        def build_books():
+        def build_books(prep_dtypes=(None, "int8")):
             return host_planner.build_for_backbone(
                 cfg.MODEL.BACKBONE_3D.NAME, cfg.MODEL.BACKBONE_3D,
-                (model.dataset.grid_size), raw["voxel_coords"], B * V)
+                (model.dataset.grid_size), raw["voxel_coords"], B * V,
+                prep_dtypes=prep_dtypes)
 
         books = build_books()                      # warm (lib load, pagein)
         if books is None:
@@ -314,14 +315,16 @@ def main():
             # (buffer-reuse arena measured neutral-to-slower on this box —
             # glibc already recycles the freed pages between frames — so
             # steady-state timing uses plain allocation)
+            # steady-state build time for ONE deploy dtype (a serving
+            # pipeline builds only the preps of the dtype it runs)
             reps = []
             for _ in range(5):
                 t0 = time.perf_counter()
-                build_books()
+                build_books(prep_dtypes=("int8",))
                 reps.append((time.perf_counter() - t0) * 1e3)
-            host_ms = min(reps)                    # steady-state build time
-            log(f"host rulebook build: {host_ms:.1f} ms "
-                f"({len(books)} tables)")
+            host_ms = min(reps)
+            log(f"host rulebook build: {host_ms:.1f} ms int8-deploy "
+                f"({len(books)} tables incl. both-dtype preps)")
 
     log("initializing params (jitted) ...")
     t0 = time.perf_counter()
@@ -430,30 +433,33 @@ def main():
                                     "voxel_num_points")})
         B, V = raws[0]["voxel_coords"].shape[:2]
 
-        def build_books_for(i):
+        def build_books_for(i, prep_dtypes=("int8",)):
             return host_planner.build_for_backbone(
                 cfg.MODEL.BACKBONE_3D.NAME, cfg.MODEL.BACKBONE_3D,
-                model.dataset.grid_size, raws[i]["voxel_coords"], B * V)
+                model.dataset.grid_size, raws[i]["voxel_coords"], B * V,
+                prep_dtypes=prep_dtypes)
 
         # seeding pass: the native overflow-cap memo grows on a burst
         # (runtime/native.py); visiting every frame once BEFORE staging
         # pins one stable prep shape per stage so all windows stack and
         # share one compiled program
         for i in range(len(raws)):
-            build_books_for(i)
+            build_books_for(i, prep_dtypes=(None, "int8"))
 
         import statistics
         log("timing int8 streaming (host builds overlapped) ...")
         wfn = _make_window_runner(model, rules8)
         fps_streaming = args.batch * statistics.median(
-            time_streaming(wfn, vars8, frames, build_books_for,
+            time_streaming(wfn, vars8, frames,
+                           lambda i: build_books_for(i, ("int8",)),
                            window=window) for _ in range(args.reps))
         log(f"int8 streaming: {fps_streaming:.2f} frames/s end-to-end "
             f"(device loop: {fps8:.2f})")
         log("timing bf16 streaming (host builds overlapped) ...")
         wfn16 = _make_window_runner(model, None)
         fps_streaming16 = args.batch * statistics.median(
-            time_streaming(wfn16, variables, frames, build_books_for,
+            time_streaming(wfn16, variables, frames,
+                           lambda i: build_books_for(i, (None,)),
                            window=window) for _ in range(args.reps))
         log(f"bf16 streaming: {fps_streaming16:.2f} frames/s end-to-end "
             f"(device loop: {fps16:.2f})")

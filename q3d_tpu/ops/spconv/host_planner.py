@@ -19,18 +19,23 @@ from .modules import subm_cache_key, down_cache_key, down_out_spatial
 from .pallas_conv import choose_block
 
 
-def _preps_for(native, chunk, capacity, cin):
+def _preps_for(native, chunk, capacity, cin, prep_dtypes=(None, "int8")):
     """One-hot-kernel preps for kernel-routed widths (cin >= 16, matching
     pallas_conv.gather_conv_chunked_fast's routing).  The block policy is
     per-DTYPE (int8 prefers bigger blocks than bf16 — choose_block), so one
     prep is built per distinct (bm, s) the policies produce; each lands
     under its own ``prep_key``, and a consumer whose policy choice differs
     safely misses instead of mixing span grids.  Returns a list of
-    (bm, s, prep)."""
+    (bm, s, prep).
+
+    prep_dtypes: which execution dtypes this build serves.  A serving
+    pipeline deploys ONE dtype — building only its preps keeps the host
+    build off the max(host, device) critical path (r4: both-dtype builds
+    cost 22.9 ms vs 15 ms single at the bench envelope)."""
     if cin < 16:
         return []
     shapes = set()
-    for dtype in (None, "int8"):
+    for dtype in prep_dtypes:
         bm, s, _ = choose_block(capacity, cin, dtype)  # prep indep of uncond
         if capacity >= s and capacity >= bm:
             shapes.add((bm, s))
@@ -173,7 +178,8 @@ def pillar_coords_from_points(points, points_mask, point_cloud_range,
     return coords
 
 
-def build_rulebooks(plan, voxel_coords, sparse_shape):
+def build_rulebooks(plan, voxel_coords, sparse_shape,
+                    prep_dtypes=(None, "int8")):
     """Execute a plan on host.  voxel_coords: (B, V, nd) numpy, or an
     already-flattened key-sorted (P, 1+nd) [b, ...] array with -1 pads
     (the pillar path).
@@ -208,7 +214,8 @@ def build_rulebooks(plan, voxel_coords, sparse_shape):
                 # chunked anchor+code books feed the engine's chunk cache
                 # directly (3x less host work + transfer than (N, 27))
                 chunk = native.subm_chunk_rulebook(coords, spatial, k, dil)
-                preps = _preps_for(native, chunk, coords.shape[0], cin)
+                preps = _preps_for(native, chunk, coords.shape[0], cin,
+                                   prep_dtypes)
                 for kk in ikeys:
                     ck = subm_cache_key(kk, spatial, k, dil)
                     out["chunk|" + ck] = chunk
@@ -228,7 +235,8 @@ def build_rulebooks(plan, voxel_coords, sparse_shape):
                 # stored len-2: out_spatial is static math device-side
                 out["chunkdown|" + ck] = (oc, chunk)
                 for bm, ss, prep in _preps_for(native, chunk,
-                                               coords.shape[0], cin):
+                                               coords.shape[0], cin,
+                                               prep_dtypes):
                     out[prep_key(bm, ss, ck)] = prep
             else:
                 oc, gather, out_spatial = native.downsample_rulebook(
@@ -239,7 +247,7 @@ def build_rulebooks(plan, voxel_coords, sparse_shape):
 
 
 def build_for_backbone(backbone_name, model_cfg, grid_size, voxel_coords,
-                       input_capacity):
+                       input_capacity, prep_dtypes=(None, "int8")):
     """Convenience: plan + build for a registered voxel backbone.  Returns
     None for unsupported backbones (model falls back to device rulebooks).
 
@@ -256,12 +264,12 @@ def build_for_backbone(backbone_name, model_cfg, grid_size, voxel_coords,
     if backbone_name == "VoxelResBackBone8xVoxelNeXt":
         nx, ny, nz = (int(g) for g in grid_size)
         return build_rulebooks(voxelnext_plan(model_cfg), voxel_coords,
-                               (nz + 1, ny, nx))
+                               (nz + 1, ny, nx), prep_dtypes)
     if backbone_name == "UNetV2":
         # UNetV2's modules pass no out_capacity (inherit) — keys use None
         nx, ny, nz = (int(g) for g in grid_size)
         return build_rulebooks(unet_plan({}), voxel_coords,
-                               (nz + 1, ny, nx))
+                               (nz + 1, ny, nx), prep_dtypes)
     if backbone_name not in ("VoxelBackBone8x", "VoxelResBackBone8x"):
         return None
     nx, ny, nz = (int(g) for g in grid_size)
@@ -282,7 +290,7 @@ def build_for_backbone(backbone_name, model_cfg, grid_size, voxel_coords,
     chans = [16, 32, 64, 128]
     for stage in range(4):
         preps = _preps_for(native, books["subm"][stage], ns[stage],
-                           chans[stage])
+                           chans[stage], prep_dtypes)
         for kk in [ikeys[stage]] + (_RES_KEYS.get(ikeys[stage], [])
                                     if res else []):
             ck = subm_cache_key(kk, spatial, 3, 1)
@@ -295,7 +303,7 @@ def build_for_backbone(backbone_name, model_cfg, grid_size, voxel_coords,
         dk = down_cache_key(spatial, 3, 2, pads[stage], cap_list[stage])
         out["chunkdown|" + dk] = (oc, chunk)
         for bm, ss, prep in _preps_for(native, chunk, ns[stage],
-                                       chans[stage]):
+                                       chans[stage], prep_dtypes):
             out[prep_key(bm, ss, dk)] = prep
         spatial = down_out_spatial(spatial, 3, 2, pads[stage])
     return out

@@ -66,12 +66,27 @@ def choose_block(capacity, cin, dtype=None):
         return 512, 768, True
     if cin <= 64 and capacity >= 90000:      # C64@100k: 4.23/3.58 vs
         return 512, 768, True                # 4.39/3.70 @256/512
+    # bench-envelope tier, re-swept r4 on the 2026-08 toolchain (int32
+    # one-hot compares changed the INT8 optima;
+    # tools/profile_conv_paths.py --size bench, isolated-conv int8 ms):
+    #   C16@40k:  int8 512/768 0.459 vs 256/384u 0.952
+    #   C32@38k:  int8 512/1024 0.875 vs 512/768 1.153
+    #   C64@30k:  int8 256/512 0.764 (kept); C128@17k: 256/384u 0.381 (kept)
+    # End-to-end A/B (bench.py, r4): int8 19.51 -> 19.16 ms with these.
+    # bf16 keeps the r2 shared picks — the sweep's isolated bf16 "optima"
+    # (256/512 C16, 256/384u C32, 512/768u C64, 256/384 C128) REGRESSED
+    # end-to-end 24.87 -> 25.83 ms (the r2 VMEM-pressure effect), so they
+    # were reverted.  The dtype split costs one extra host prep per
+    # differing stage (~ms, built once per rulebook).
+    int8 = dtype is not None and "int8" in str(dtype)
     if cin <= 16 and capacity >= 512:
-        return 256, 384, True
+        return (512, 768, False) if int8 else (256, 384, True)
     if cin <= 32 and capacity >= 2048:
-        return 512, 768, False
+        return (512, 1024, False) if int8 else (512, 768, False)
     if cin >= 128 and capacity >= 512:
         return 256, 384, True
+    if cin <= 64 and capacity >= 2048:
+        return 256, 512, False
     if capacity >= 512:
         return 256, 512, False
     return DEFAULT_BM, DEFAULT_S, False

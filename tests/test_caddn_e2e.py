@@ -174,3 +174,52 @@ def test_caddn_train_depth_term_decreases():
         ddn.append(float(tb["ddn_loss"]))
     assert np.isfinite(ddn).all()
     assert ddn[-1] < ddn[0] * 0.9, ddn
+
+
+def test_out_of_depth_range_voxels_get_zero_weight():
+    """ADVICE r3: voxels whose camera depth falls outside D_RANGE must get
+    ZERO frustum weight (reference reserves an overflow bin that
+    frustum_to_voxel drops), not the nearest valid bin's probability.  The
+    in_img mask enforces this: with a constant-feature image, voxels in
+    front of the camera but beyond depth_max (or closer than depth_min)
+    produce exactly zero dense features."""
+    import jax.numpy as jnp
+
+    cfg = cfg_from_yaml_file(str(CFG_PATH), EDict())
+    dataset, loader, _ = build_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=1, training=False)
+    # shrink the depth range so most of the grid is out of range
+    cfg.MODEL.VFE.D_RANGE = [1.0, 4.0]
+    model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
+                          dataset=dataset)
+    raw = next(iter(loader))
+    H = W = 64
+    raw["camera_imgs"] = np.ones((1, H, W, 3), np.float32)
+    intr = np.zeros((1, 3, 3), np.float32)
+    intr[:, 0, 0] = intr[:, 1, 1] = 40.0
+    intr[:, 0, 2] = W / 2
+    intr[:, 1, 2] = H / 2
+    intr[:, 2, 2] = 1.0
+    raw["camera_intrinsics"] = intr
+    batch = load_data_to_device(raw)
+    variables = jax.jit(lambda k, b: model.init(k, b, train=False))(
+        jax.random.PRNGKey(0), batch)
+
+    def vfe_only(m, b):
+        return m.vfe(dict(b), False)["dense_voxel_features"]
+
+    vol = np.asarray(model.apply(variables, batch, method=vfe_only))
+    # voxel centers along +x (camera forward, KITTI-ish default frame):
+    # depth = x.  grid covers the point cloud range; find columns beyond
+    # depth_max = 4.0 -> all-zero features there.
+    nx, ny, nz = (int(g) for g in dataset.grid_size)
+    pr = dataset.point_cloud_range
+    vx = (pr[3] - pr[0]) / nx
+    xs = pr[0] + (np.arange(nx) + 0.5) * vx
+    far = xs > 4.5          # comfortably beyond depth_max
+    # vol layout: (B, D=nz, H=ny, W=nx, C)
+    far_feats = vol[0, :, :, far, :]
+    assert np.abs(far_feats).max() == 0.0
+    # and some in-range voxel carries nonzero signal
+    near = (xs > 1.2) & (xs < 3.8)
+    assert np.abs(vol[0, :, :, near, :]).max() > 0.0
