@@ -251,6 +251,52 @@ def time_mode(runner, variables, batch, iters, warmup=2):
 PEAK_FLOPS = {"bf16": 197e12, "int8": 394e12}
 
 
+def _calibrate_scales(args, cfg_name, model, variables, batch16):
+    """int8 deploy scales with a DISK CACHE (.bench_scales/, committed).
+
+    PTQ calibration (collect absmax, fold amax) is offline — part of
+    quantization, not of inference — so the folded scales are persisted
+    like any deployed model's quantization artifact, keyed by config +
+    params checksum + recipe.  Over the axon tunnel a fresh calibration
+    costs 13-24 min of un-jitted init + calib-mode compile, which is what
+    blew the r3 driver budget; a cache hit costs milliseconds.  The key
+    excludes the batch size (amax statistics are shape-independent), so
+    one seeding run serves every batch of the same config."""
+    import hashlib
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+    from q3d_tpu.quant.api import (int8_deploy_recipe, quantize_model,
+                                   collect_stats, compute_amax)
+
+    # quantize_first_conv: accuracy-validated extension over the reference
+    # recipe (test_accuracy_regression pins <=1% NDS drop with it on)
+    rules8 = int8_deploy_recipe(residency=True, quantize_first_conv=True)
+    leaves = jax.tree_util.tree_leaves(variables["params"])
+    fp = "%.6e" % sum(float(jnp.sum(jnp.abs(l).astype(jnp.float32)))
+                      for l in leaves[:6])
+    key = hashlib.md5(f"{cfg_name}|{fp}|{rules8!r}".encode()).hexdigest()[:16]
+    cache_f = ROOT / ".bench_scales" / f"{cfg_name.split('.')[0]}_{key}.pkl"
+    if cache_f.exists():
+        with open(cache_f, "rb") as f:
+            quant_state = pickle.load(f)
+        vars8 = {**{k: v for k, v in variables.items()},
+                 "quant": quant_state}
+        log(f"int8 scales from cache {cache_f.name}")
+        return rules8, vars8, "cached"
+    log("calibrating int8 deploy scales (cold; caching result) ...")
+    vars8 = quantize_model(model, variables, rules8, batch16)
+    vars8 = collect_stats(model, vars8, rules8, [batch16] * 2,
+                          num_batches=2, loader_to_device=lambda b: b)
+    vars8 = compute_amax(vars8, method="max")
+    cache_f.parent.mkdir(exist_ok=True)
+    with open(cache_f, "wb") as f:
+        pickle.dump(jax.device_get(vars8["quant"]), f)
+    log(f"scales cached -> {cache_f.name}")
+    return rules8, vars8, "fresh"
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="ref", choices=["ref", "bench", "tiny"])
@@ -268,6 +314,10 @@ def main():
     ap.add_argument("--no-streaming", action="store_true",
                     help="skip the end-to-end streaming measurement (the "
                          "ladder's cheap banked attempts use this)")
+    ap.add_argument("--calibrate-only", action="store_true",
+                    help="calibrate + persist the int8 scale cache for this "
+                         "config, skip all timing (seeds .bench_scales so "
+                         "driver runs pay no calibration compile)")
     ap.add_argument("--no-mfu", action="store_true",
                     help="skip the HLO cost-analysis MFU computation")
     ap.add_argument("--no-ladder", action="store_true",
@@ -334,6 +384,12 @@ def main():
     jax.block_until_ready(variables)
     log(f"init done in {time.perf_counter() - t0:.1f}s")
 
+    if args.calibrate_only:
+        _calibrate_scales(args, cfg_name, model, variables, batch16)
+        print(json.dumps({"metric": "calibration_seed", "value": 1.0,
+                          "unit": "ok", "vs_baseline": 1.0}))
+        return
+
     def measure(rules, mode_vars, tag):
         """Median of --reps repetitions (VERDICT r2: run-to-run noise was
         the size of a round's progress; single runs are not a headline)."""
@@ -384,18 +440,16 @@ def main():
 
     # int8 deployment: static scales + int8 residency across the sparse
     # backbone.  PTQ calibration (collect absmax on the example scene, fold
-    # amax) runs offline — it is part of quantization, not of inference.
-    from q3d_tpu.quant.api import (quantize_model, collect_stats,
-                                   compute_amax)
-    # quantize_first_conv: accuracy-validated extension over the reference
-    # recipe (test_accuracy_regression pins <=1% NDS drop with it on)
-    rules8 = int8_deploy_recipe(residency=True, quantize_first_conv=True)
-    log("calibrating int8 deploy scales ...")
-    vars8 = quantize_model(model, variables, rules8, batch16)
-    vars8 = collect_stats(model, vars8, rules8, [batch16] * 2,
-                          num_batches=2, loader_to_device=lambda b: b)
-    vars8 = compute_amax(vars8, method="max")
-    vars8 = jax.device_put(vars8)
+    # amax) runs offline — it is part of quantization, not of inference —
+    # so the folded scales are CACHED on disk like any deployed model's
+    # quantization artifact (.bench_scales/, committed; keyed by config +
+    # a params checksum + the recipe).  Over the axon tunnel a fresh
+    # calibration costs 13-24 min of un-jitted init + calib-mode compile,
+    # which is what blew the r3 driver budget.
+    import jax as _j
+    rules8, vars8, calibration = _calibrate_scales(args, cfg_name, model,
+                                                   variables, batch16)
+    vars8 = _j.device_put(vars8)
     dt8 = measure(rules8, vars8, "int8")
     fps8 = args.batch / dt8
     flops8 = flops_of(rules8, vars8, "int8")
@@ -492,6 +546,7 @@ def main():
                    "batch": args.batch, "config": cfg_name,
                    "segmented": args.segmented,
                    "host_rulebook_ms": round(host_ms, 3),
+                   "calibration": calibration,
                    **({"tflops_bf16": mfu16.get("tflops"),
                        "mfu_bf16": mfu16.get("mfu")} if mfu16 else {}),
                    **({"tflops_int8": mfu8.get("tflops"),
@@ -516,7 +571,7 @@ def _ladder():
     banked JSON before exit, so even a hard cutoff leaves an artifact."""
     import signal
 
-    budget = float(os.environ.get("Q3D_BENCH_BUDGET", "2700"))
+    budget = float(os.environ.get("Q3D_BENCH_BUDGET", "3300"))
     t0 = time.time()
     banked = {}          # mutated in place so the signal handler sees it
 
@@ -541,19 +596,25 @@ def _ladder():
     # the axon tunnel's AOT compiler does NOT populate the persistent JAX
     # cache (measured r4: bf16 ~3 min, int8 calibration + loop ~15 min at
     # the bench envelope), so every attempt pays full compile time.
+    # estimates assume the committed .bench_scales cache hits (it is keyed
+    # by config + params checksum + recipe; a miss re-calibrates, ~+13-24
+    # min, and the budget clock simply kills the overrun — banked results
+    # survive via the SIGTERM handler)
     attempts = [
-        ("bench", 1500,
+        ("bench", 700,
          ["--size", "bench", "--host-rulebooks", "--iters", "20",
           "--reps", "2", "--no-streaming"]),
-        ("ref", 2400,
+        # --no-mfu on the ref attempts: each MFU pass is an extra remote
+        # compile (~2-4 min); the banked bench attempt already carries MFU
+        ("ref", 1000,
          ["--size", "ref", "--host-rulebooks", "--iters", "8",
-          "--reps", "1", "--no-streaming"]),
+          "--reps", "1", "--no-streaming", "--no-mfu"]),
         # batch 2 is the best int8 serving point at the reference envelope
         # (larger capacities -> larger MXU fraction -> int8 advantage
         # grows); streaming both dtypes = the honest end-to-end ratio
-        ("ref-b2-streaming", 3000,
+        ("ref-b2-streaming", 1900,
          ["--size", "ref", "--host-rulebooks", "--batch", "2",
-          "--iters", "6", "--reps", "1"]),
+          "--iters", "6", "--reps", "1", "--no-mfu"]),
     ]
     # explicit user flags: run exactly that configuration (still under the
     # budget/SIGTERM umbrella), not the standard ladder
@@ -583,10 +644,12 @@ def _ladder():
             if parsed is None:
                 log(f"attempt [{tag}] produced no JSON (rc={out.returncode})")
                 continue
-            prior = ([{"config": banked["detail"].get("config"),
-                       "batch": banked["detail"].get("batch"),
-                       "value": banked.get("value"),
-                       "fps_int8": banked["detail"].get("fps_int8")}]
+            prior = ([{k: banked["detail"].get(k)
+                       for k in ("config", "batch", "fps_bf16", "fps_int8",
+                                 "ms_bf16", "ms_int8", "tflops_bf16",
+                                 "mfu_bf16", "tflops_int8", "mfu_int8")
+                       if banked["detail"].get(k) is not None}
+                      | {"value": banked.get("value")}]
                      + banked["detail"].get("prior_attempts", [])
                      if banked else [])
             if prior:
