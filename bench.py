@@ -574,8 +574,17 @@ def _ladder():
     budget = float(os.environ.get("Q3D_BENCH_BUDGET", "3300"))
     t0 = time.time()
     banked = {}          # mutated in place so the signal handler sees it
+    active = {}          # active child Popen, so SIGTERM can reap it
 
     def emit(*_a):
+        child = active.get("proc")
+        if child is not None and child.poll() is None:
+            # don't leave the child holding the TPU past the driver cutoff
+            child.terminate()
+            try:
+                child.wait(timeout=5)
+            except Exception:  # noqa: BLE001
+                child.kill()
         if banked:
             print(json.dumps(banked), flush=True)
         else:
@@ -631,10 +640,21 @@ def _ladder():
         log(f"=== bench attempt [{tag}]: {att} (timeout {sub_timeout:.0f}s, "
             f"{remaining():.0f}s budget left)")
         try:
-            out = subprocess.run(
+            proc = subprocess.Popen(
                 [sys.executable, str(ROOT / "bench.py"), "--no-ladder"] + att,
-                capture_output=True, text=True, timeout=sub_timeout,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
                 cwd=str(ROOT))
+            active["proc"] = proc
+            try:
+                stdout, stderr = proc.communicate(timeout=sub_timeout)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.communicate()
+                raise
+            finally:
+                active.pop("proc", None)
+            out = subprocess.CompletedProcess(proc.args, proc.returncode,
+                                              stdout, stderr)
             sys.stderr.write(out.stderr[-4000:])
             parsed = None
             for line in out.stdout.splitlines():

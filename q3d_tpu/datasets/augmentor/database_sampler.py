@@ -217,6 +217,23 @@ class DataBaseSampler:
             if self._global_db is None:
                 self._global_db = np.load(self._global_db_path,
                                           mmap_mode="r")
+                # consistency check (ADVICE r4): a stale/rebuilt global
+                # .npy paired with old infos silently yields wrong object
+                # points — validate once that the array covers every info's
+                # offset range before trusting any slice
+                max_end = 0
+                for cls_infos in self.db_infos.values():
+                    for ci in cls_infos:
+                        off = ci.get("global_data_offset")
+                        if off is not None:
+                            max_end = max(max_end, int(off[1]))
+                if max_end > self._global_db.shape[0]:
+                    raise RuntimeError(
+                        f"integrated GT database {self._global_db_path} has "
+                        f"{self._global_db.shape[0]} rows but infos "
+                        f"reference offsets up to {max_end}; the .npy and "
+                        "the info pickles are out of sync — rebuild with "
+                        "tools/create_infos.py")
             s, e = info["global_data_offset"]
             return np.array(self._global_db[s:e], np.float32)
         p = self.root_path / info["path"]

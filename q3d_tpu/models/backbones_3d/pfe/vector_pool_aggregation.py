@@ -12,8 +12,10 @@ TPU re-design notes:
   * ``local_interpolation`` (the reference default) is faithful as of r4:
     3-NN inverse-distance interpolation at each local grid-cell center
     (``ops.vector_pool.vector_pool_interpolate``).  ``voxel_avg_pool`` is
-    the per-cell mean; ``voxel_random_choice`` maps to the mean too
-    (deterministic stand-in, measured delta in docs/PARITY.md).
+    the per-cell mean; ``voxel_random_choice`` is FAITHFUL as of r5 —
+    the reference kernel's "random" choice is first-hit-per-cell in point
+    scan order (vector_pool_gpu.cu:344), reproduced by a scatter-min over
+    scan positions (``vector_pool(mode='first')``).
   * Sectorized proposal-centric FPS: same semantics (keep points near any
     proposal, split into azimuth sectors, FPS per sector) with static
     capacities; empty sectors degrade to repeated points which downstream
@@ -102,11 +104,16 @@ class VectorPoolAggregationMSG(nn.Module):
                     xyz, red, new_xyz, r, nsample=ns, grid=grid,
                     valid=valid).reshape(B, M, -1)
             else:
-                # voxel_avg_pool; also the stand-in for
-                # voxel_random_choice (deterministic; docs/PARITY.md)
+                # voxel_avg_pool = per-cell mean; voxel_random_choice =
+                # per-cell FIRST point in scan order, faithful to the
+                # reference kernel's "random choose one within sub-voxel"
+                # (vector_pool_gpu.cu:344) which is first-hit, not RNG
+                mode = "first" if agg_type == "voxel_random_choice" \
+                    else "avg"
                 pooled, cnt = vector_pool(
                     xyz, jnp.concatenate([xyz, red], -1), new_xyz, r,
-                    nsample=ns, grid=grid, valid=valid, return_counts=True)
+                    nsample=ns, grid=grid, valid=valid, return_counts=True,
+                    mode=mode)
                 pooled = pooled.reshape(B, M, G, 3 + red_c)
                 rel = pooled[..., :3] - new_xyz[:, :, None, :]
                 x = jnp.concatenate([rel, pooled[..., 3:]], -1)

@@ -17,12 +17,21 @@ from .pointnet2_utils import ball_query, group_points
 
 
 @partial(jax.jit, static_argnames=("radius", "nsample", "grid",
-                                   "return_counts"))
+                                   "return_counts", "mode"))
 def vector_pool(xyz, features, new_xyz, radius, nsample=32, grid=3,
-                valid=None, return_counts=False):
+                valid=None, return_counts=False, mode="avg"):
     """xyz: (B, N, 3); features: (B, N, C); new_xyz: (B, M, 3)
     -> (B, M, grid^3 * C) structured local features
-    (+ (B, M, grid^3) per-cell neighbor counts if ``return_counts``)."""
+    (+ (B, M, grid^3) per-cell neighbor counts if ``return_counts``).
+
+    mode='avg': per-cell mean (reference pooling_type 0, voxel_avg_pool).
+    mode='first': per-cell FIRST point in support scan order — the faithful
+    ``voxel_random_choice`` (reference pooling_type 1): the CUDA kernel's
+    "random choose one within sub-voxel" (vector_pool_gpu.cu:344-365) keeps
+    the first point whose cell count is 0, scanning neighbors in point-index
+    order; ``ball_query`` here returns candidates in the same ascending
+    point order, so the selected point matches.  Deterministic in both
+    frameworks for a fixed point order."""
     idx, in_mask = ball_query(float(radius), int(nsample), xyz, new_xyz,
                               valid)
     rel = group_points(xyz, idx) - new_xyz[:, :, None, :]      # (B,M,S,3)
@@ -34,6 +43,21 @@ def vector_pool(xyz, features, new_xyz, radius, nsample=32, grid=3,
     G = grid ** 3
     cell_id = jnp.where(in_mask, cell_id, G)                   # (B,M,S)
     B, M, S, C = g_feats.shape
+
+    if mode == "first":
+        def pool_one(cid, gf):
+            # winner = min scan position per cell (scatter-min)
+            first = jnp.full(G + 1, S, jnp.int32).at[cid].min(
+                jnp.arange(S, dtype=jnp.int32))
+            hit = first[:G] < S                                # (G,)
+            feat = gf[jnp.clip(first[:G], 0, S - 1)]           # (G, C)
+            feat = jnp.where(hit[:, None], feat, 0)
+            return feat.reshape(-1), hit.astype(gf.dtype)
+
+        flat, cnt = jax.vmap(jax.vmap(pool_one))(cell_id, g_feats)
+        if return_counts:
+            return flat, cnt
+        return flat
 
     def pool_one(cid, gf):
         # cid: (S,), gf: (S, C)

@@ -79,8 +79,13 @@ def merge_results_dist(result_part, size, tmpdir=None):
     from jax.experimental import multihost_utils
 
     blob = np.frombuffer(pickle.dumps(list(result_part)), np.uint8)
+    # int32 on purpose: JAX's default x64-disabled config would silently
+    # downcast an int64 here anyway; assert instead of wrapping negative
+    assert blob.size < 2 ** 31, \
+        f"result part too large to gather in one blob ({blob.size} B); " \
+        "split the eval into smaller result chunks"
     sizes = np.asarray(multihost_utils.process_allgather(
-        jnp.asarray([blob.size], jnp.int64))).ravel()
+        jnp.asarray([blob.size], jnp.int32))).ravel()
     m = int(sizes.max())
     pad = np.zeros(m, np.uint8)
     pad[:blob.size] = blob

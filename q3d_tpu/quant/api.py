@@ -194,13 +194,35 @@ def quantize_model(model, fp_variables, rules, example_batch):
 
 
 def collect_stats(model, variables, rules, data_iter, num_batches=200,
-                  loader_to_device=None, verbose=False):
+                  loader_to_device=None, verbose=False, num_shards=None,
+                  dist_merge=False):
     """Stream calibration batches with the 'calib' collection mutable
-    (reference quantize.py:175-195 enable-calib/disable-quant pass)."""
+    (reference quantize.py:175-195 enable-calib/disable-quant pass).
+
+    The reference calibrates on ONE rank; the TPU-native extension (SURVEY
+    §2.6 last row) shards the calibration stream across data-parallel
+    workers and max-reduces the statistics:
+
+    - ``num_shards=k``: round-robin the stream over k independent
+      accumulator states (the single-host model of k data-parallel ranks
+      each seeing every k-th batch) and merge them host-side via
+      ``merge_calib_trees`` — elementwise max for absmax leaves (exact:
+      max is associative), integer-rebin + sum for histograms.
+    - ``dist_merge=True``: multi-process mode — this process streams its
+      LOCAL ``data_iter`` shard, then the per-process calib states are
+      allgathered and merged so every process ends with identical
+      statistics (the analogue of DDP's implicit every-rank-sees-all).
+    """
     from ..models import load_data_to_device
     loader_to_device = loader_to_device or load_data_to_device
     variables = dict(variables)
-    calib = variables.pop("calib", {})
+    calib0 = variables.pop("calib", {})
+    k = max(int(num_shards or 1), 1)
+    # shard 0 inherits any pre-existing stats (e.g. the init pass's counts);
+    # the rest start ZEROED so merged histogram mass equals the single-stream
+    # total instead of duplicating the seed k times
+    shards = [calib0] + [jax.tree_util.tree_map(np.zeros_like, calib0)
+                         for _ in range(k - 1)]
     with quant_rules_scope(rules):
         @jax.jit
         def step(vars_nocalib, calib_state, batch):
@@ -211,11 +233,97 @@ def collect_stats(model, variables, rules, data_iter, num_batches=200,
         for i, batch in enumerate(data_iter):
             if i >= num_batches:
                 break
-            calib = step(variables, calib, loader_to_device(batch))
+            shards[i % k] = step(variables, shards[i % k],
+                                 loader_to_device(batch))
             if verbose and i % 20 == 0:
                 print(f"calib batch {i}")
-    variables["calib"] = jax.device_get(calib)
+    calib = merge_calib_trees(shards) if k > 1 \
+        else jax.device_get(shards[0])
+    if dist_merge:
+        calib = merge_calib_dist(calib)
+    variables["calib"] = calib
     return variables
+
+
+def _rebin_hist(hist, width, target):
+    """Rebin a histogram of bin width ``width`` onto ``target`` >= width,
+    with the same integer index mapping ``_update_histogram`` uses in-stream
+    (new_idx = floor(old_idx * width / target); exact match when target is
+    an integer multiple of width, the only case the in-stream rule
+    produces)."""
+    hist = np.asarray(hist, np.float64)
+    if width == 0 or width == target:
+        return hist
+    n = hist.shape[0]
+    idx = np.clip((np.arange(n) * (width / target)).astype(np.int64), 0, n - 1)
+    out = np.zeros_like(hist)
+    np.add.at(out, idx, hist)
+    return out
+
+
+def merge_calib_trees(trees):
+    """Host-side merge of per-shard 'calib' collections (SURVEY §2.6:
+    pmax of per-channel amax across data-parallel shards).
+
+    Every calib leaf is a running MAX (``absmax``, ``sq_act_absmax``)
+    except the histogram pair (``hist`` counts + scalar ``bin_width``),
+    which merges by rebinning every shard to the widest shard's bin width
+    and summing counts — total mass is preserved and the result is what a
+    single stream would have produced up to the (already approximate)
+    integer-rebin rule."""
+    from collections.abc import Mapping
+    trees = [jax.device_get(t) for t in trees]
+
+    def merge(nodes):
+        if isinstance(nodes[0], Mapping):
+            out = {}
+            keys = nodes[0].keys()
+            if "hist" in keys and "bin_width" in keys:
+                widths = [float(np.asarray(n["bin_width"])) for n in nodes]
+                target = max(widths)
+                merged = np.zeros_like(np.asarray(nodes[0]["hist"],
+                                                  np.float64))
+                for node, w in zip(nodes, widths):
+                    merged = merged + _rebin_hist(node["hist"], w, target)
+                out["hist"] = merged.astype(
+                    np.asarray(nodes[0]["hist"]).dtype)
+                out["bin_width"] = np.asarray(target,
+                                              np.asarray(nodes[0]["bin_width"]).dtype)
+            for kk in keys:
+                if kk in ("hist", "bin_width") and kk in out:
+                    continue
+                out[kk] = merge([n[kk] for n in nodes])
+            return out
+        acc = np.asarray(nodes[0])
+        for n in nodes[1:]:
+            acc = np.maximum(acc, np.asarray(n))
+        return acc
+
+    return merge(trees)
+
+
+def merge_calib_dist(calib):
+    """Multi-process calib merge: allgather every process's calib tree
+    (padded-uint8 pickle ride, same transport as
+    ``parallel.commu_utils.merge_results_dist``) and ``merge_calib_trees``
+    them, so all ranks commit identical amax.  No-op single-process."""
+    if jax.process_count() == 1:
+        return calib
+    import pickle
+
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    blob = np.frombuffer(pickle.dumps(jax.device_get(calib)), np.uint8)
+    assert blob.size < 2 ** 31
+    sizes = np.asarray(multihost_utils.process_allgather(
+        jnp.asarray([blob.size], jnp.int32))).ravel()
+    pad = np.zeros(int(sizes.max()), np.uint8)
+    pad[:blob.size] = blob
+    gathered = np.asarray(multihost_utils.process_allgather(jnp.asarray(pad)))
+    trees = [pickle.loads(gathered[i, :int(sizes[i])].tobytes())
+             for i in range(gathered.shape[0])]
+    return merge_calib_trees(trees)
 
 
 def prepare_int8_deploy(model, variables, example_batches, residency=True,

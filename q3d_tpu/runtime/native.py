@@ -310,7 +310,11 @@ def flatten_sort_coords(voxel_coords, spatial):
 # only (a transient spike permanently widens the rung; shapes must stay
 # stable across streamed frames or every window recompiles).  Seeded lazily
 # from the first frame's TRUE count (the C++ prep counts it in-pass).
+# Bounded (ADVICE r4): a caller feeding non-static row counts would other-
+# wise grow it without limit — evict oldest-inserted beyond the bound (the
+# padded bench/eval configs use a handful of stable keys, far below it).
 _CAP_MEMO = {}
+_CAP_MEMO_MAX = 512
 
 
 def _resolve_cap(m, g, bm, s, capacity):
@@ -326,6 +330,9 @@ def _update_cap(m, g, bm, s, capacity, count, cap):
     instead of drifting caps that would recompile every window."""
     from ..ops.spconv import policy
     key = (m, g, bm, s, capacity)
+    if key not in _CAP_MEMO and len(_CAP_MEMO) >= _CAP_MEMO_MAX:
+        _CAP_MEMO.pop(next(iter(_CAP_MEMO)))     # FIFO eviction (dicts
+        # preserve insertion order); stable configs re-seed in one pass
     if count <= cap:
         _CAP_MEMO.setdefault(key, cap)
         return None

@@ -159,3 +159,44 @@ def test_vector_pool_interpolate_oracle():
                 want_o = centers[g] - (xyz[0, ci[oi]] - new_xyz[0, m])
                 np.testing.assert_allclose(offs[j], want_o, rtol=2e-4,
                                            atol=2e-5)
+
+
+def test_vector_pool_first_choice_oracle():
+    """vector_pool(mode='first') == numpy oracle of the reference's
+    voxel_random_choice semantics (vector_pool_gpu.cu:344-365: keep the
+    FIRST point per sub-voxel in neighbor scan order)."""
+    from q3d_tpu.ops.vector_pool import vector_pool
+
+    rng = np.random.RandomState(11)
+    B, N, M, C, grid, R, ns = 2, 64, 5, 4, 3, 1.0, 32
+    xyz = rng.randn(B, N, 3).astype(np.float32) * 1.5
+    feats = rng.randn(B, N, C).astype(np.float32)
+    centers = rng.randn(B, M, 3).astype(np.float32)
+
+    got, cnt = vector_pool(jnp.asarray(xyz), jnp.asarray(feats),
+                           jnp.asarray(centers), radius=R, nsample=ns,
+                           grid=grid, return_counts=True, mode="first")
+    got = np.asarray(got).reshape(B, M, grid ** 3, C)
+    cnt = np.asarray(cnt)
+
+    G = grid ** 3
+    for b in range(B):
+        for m in range(M):
+            want = np.zeros((G, C), np.float32)
+            hit = np.zeros(G, bool)
+            found = 0
+            for k in range(N):          # reference scan order
+                rel = xyz[b, k] - centers[b, m]
+                if (rel ** 2).sum() >= R ** 2:
+                    continue
+                found += 1
+                if found > ns:
+                    break
+                cell = np.clip(((rel / (2 * R) + 0.5) * grid).astype(int),
+                               0, grid - 1)
+                g = (cell[0] * grid + cell[1]) * grid + cell[2]
+                if not hit[g]:
+                    hit[g] = True
+                    want[g] = feats[b, k]
+            np.testing.assert_allclose(got[b, m], want, rtol=1e-6)
+            np.testing.assert_array_equal(cnt[b, m] > 0, hit)

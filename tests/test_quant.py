@@ -442,3 +442,72 @@ def test_sqconvt2d_matches_plain_transposed_conv():
     err = np.abs(np.asarray(y_q) - np.asarray(y_fp)).max()
     ref = np.abs(np.asarray(y_fp)).max()
     assert err < 0.05 * ref, (err, ref)
+
+
+def test_sharded_calibration_matches_single_device():
+    """VERDICT r4 #3 / SURVEY §2.6 last row: calibration statistics sharded
+    over data-parallel workers must merge to the single-stream result —
+    exactly for max-reduced absmax (per-tensor AND per-channel), and to the
+    same resolved amax for the histogram calibrator."""
+    from q3d_tpu.quant.api import (collect_stats, compute_amax,
+                                   merge_calib_trees)
+
+    rng = np.random.RandomState(7)
+    batches = [{"x": (rng.rand(2, 8, 8, 4) * (1 + i)).astype(np.float32)}
+               for i in range(8)]
+    rules = QuantRules(rules=(LayerRule(
+        layer_kinds=("conv2d",),
+        weight=QuantSpec(8, axis=0, dynamic=False, calibrator="max"),
+        act=QuantSpec(8, axis=None, dynamic=False, calibrator="histogram")),))
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, batch, train=False):
+            return {"y": Conv2d(8, 3, 1, 1, name="c")(batch["x"])}
+
+    m = M()
+    with quant_rules_scope(rules):
+        variables = m.init(jax.random.PRNGKey(0), batches[0])
+        to_dev = lambda b: {"x": jnp.asarray(b["x"])}  # noqa: E731
+        single = collect_stats(m, dict(variables), rules, batches,
+                               num_batches=8, loader_to_device=to_dev)
+        sharded = collect_stats(m, dict(variables), rules, batches,
+                                num_batches=8, loader_to_device=to_dev,
+                                num_shards=4)
+
+    s_flat = jax.tree_util.tree_leaves_with_path(single["calib"])
+    d_flat = dict(jax.tree_util.tree_leaves_with_path(sharded["calib"]))
+    assert len(s_flat) == len(d_flat) >= 3      # absmax x2, hist, bin_width
+    for path, leaf in s_flat:
+        name = str(path[-1])
+        other = d_flat[path]
+        if "hist" in name:
+            # same total mass; per-bin layout may differ by the (already
+            # approximate) streaming rebin order
+            np.testing.assert_allclose(np.asarray(other).sum(),
+                                       np.asarray(leaf).sum())
+        elif "bin_width" in name:
+            assert float(np.asarray(other)) > 0
+        else:   # absmax / sq_act_absmax: max is associative -> exact
+            np.testing.assert_array_equal(np.asarray(leaf),
+                                          np.asarray(other))
+
+    # resolved amax: exact for max-reduce, within a couple of bins for the
+    # histogram percentile (bin width ~ amax/2048)
+    a1 = compute_amax(dict(single), method="percentile", percentile=99.9)
+    a2 = compute_amax(dict(sharded), method="percentile", percentile=99.9)
+    l1 = jax.tree_util.tree_leaves_with_path(a1["quant"])
+    l2 = dict(jax.tree_util.tree_leaves_with_path(a2["quant"]))
+    for path, leaf in l1:
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(l2[path]),
+                                   rtol=5e-3)
+
+    # merge is order/shard-count independent on max leaves: merging the
+    # 4-way result with the single stream changes nothing on absmax
+    again = merge_calib_trees([sharded["calib"], single["calib"]])
+    for path, leaf in jax.tree_util.tree_leaves_with_path(again):
+        name = str(path[-1])
+        if "hist" in name or "bin_width" in name:
+            continue        # histogram pair merges by rebin+sum, not max
+        np.testing.assert_allclose(np.asarray(leaf),
+                                   np.asarray(d_flat[path]))
