@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...utils import loss_utils
-from ..layers import Conv2d, BatchNorm, relu
+from ..layers import Conv2d, BatchNorm, DenseRequant, relu
 from ..model_utils import centernet_utils, model_nms_utils
 
 
@@ -81,6 +81,10 @@ class CenterHead(nn.Module):
                                   name="shared_conv")
         self.shared_norm = BatchNorm(cfg.get("BN_EPS", 1e-5),
                                      cfg.get("BN_MOM", 0.1), name="shared_norm")
+        # r5 head residency: under a deploy-int8 residency recipe the shared
+        # feature is quantized ONCE here and every branch conv consumes the
+        # int8 data directly (no per-conv quantize pass); no-op otherwise
+        self.shared_requant = DenseRequant(name="shared_requant")
         heads = []
         for idx, names in enumerate(self.class_names_each_head):
             head_dict = {k: dict(v) for k, v in cfg.SEPARATE_HEAD_CFG.HEAD_DICT.items()}
@@ -165,11 +169,12 @@ class CenterHead(nn.Module):
         cfg = self.model_cfg
         x = batch_dict["spatial_features_2d"]
         x = relu(self.shared_norm(self.shared_conv(x), train))
+        H, W = x.shape[1], x.shape[2]
+        x = self.shared_requant(x)     # one int8 quantize for all branches
         pred_dicts = [head(x, train) for head in self.heads_list]
 
         if train:
             lw = cfg.LOSS_CONFIG.LOSS_WEIGHTS
-            H, W = x.shape[1], x.shape[2]
             total = 0.0
             tb = {}
             for idx, pred in enumerate(pred_dicts):

@@ -95,6 +95,36 @@ def requant_epilogue(y, k, b, act_spec, identity=None, relu=True,
     return QTensor(q, s)
 
 
+class DenseRequant(nn.Module):
+    """Quantize a dense feature map ONCE into a QTensor residency carrier.
+
+    r5 head-residency: CenterHead's shared feature feeds ~36 small branch
+    convs; without this, EVERY branch conv pays its own f32->int8 quantize
+    pass over the full BEV map (measured: int8 dense_head 3.76 ms vs bf16
+    2.13 ms at the bench envelope — int8 was LOSING time in the head).
+    Quantizing once lets each deploy-int8 branch conv start straight from
+    the int8 data (Conv2d's QTensor fast path), and the requant fuses into
+    the preceding BN/ReLU elementwise chain.
+
+    No-op (returns x unchanged) unless a deploy-int8 residency conv2d rule
+    matches this module's own dotted path — excluded heads (no_list) and
+    fp runs see identical graphs."""
+
+    @nn.compact
+    def __call__(self, x):
+        rules = get_active_rules()
+        r = rules.lookup(".".join(str(p) for p in self.path), "conv2d") \
+            if rules else None
+        if (r is None or not r.deploy_int8 or not r.int8_residency
+                or r.smoothquant is not None or r.act is None
+                or r.act.axis is not None):
+            return x
+        if isinstance(x, QTensor):
+            return x
+        q, s = TensorQuantizer(r.act, mode="int", name="quant")(x)
+        return QTensor(q, s)
+
+
 class Conv2d(nn.Module):
     """2D conv, torch-compatible hyperparams (stride/padding ints), NHWC.
 

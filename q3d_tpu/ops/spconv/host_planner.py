@@ -16,17 +16,17 @@ host == device equality.
 import numpy as np
 
 from .modules import subm_cache_key, down_cache_key, down_out_spatial
-from .pallas_conv import choose_block
+from .pallas_conv import block_for
 
 
 def _preps_for(native, chunk, capacity, cin, prep_dtypes=(None, "int8")):
     """One-hot-kernel preps for kernel-routed widths (cin >= 16, matching
     pallas_conv.gather_conv_chunked_fast's routing).  The block policy is
-    per-DTYPE (int8 prefers bigger blocks than bf16 — choose_block), so one
-    prep is built per distinct (bm, s) the policies produce; each lands
-    under its own ``prep_key``, and a consumer whose policy choice differs
-    safely misses instead of mixing span grids.  Returns a list of
-    (bm, s, prep).
+    per-DTYPE (int8 prefers bigger blocks than bf16 — block_for), so one
+    prep is built per distinct (bm, s, pack) the policies produce; each
+    lands under its own ``prep_key``, and a consumer whose policy choice
+    differs safely misses instead of mixing span grids.  Returns a list of
+    (bm, s, pack, prep).
 
     prep_dtypes: which execution dtypes this build serves.  A serving
     pipeline deploys ONE dtype — building only its preps keeps the host
@@ -36,16 +36,20 @@ def _preps_for(native, chunk, capacity, cin, prep_dtypes=(None, "int8")):
         return []
     shapes = set()
     for dtype in prep_dtypes:
-        bm, s, _ = choose_block(capacity, cin, dtype)  # prep indep of uncond
+        # prep indep of uncond; span granule = Q * pack (the C++ q param)
+        bm, s, _, pack = block_for(capacity, cin, dtype)
         if capacity >= s and capacity >= bm:
-            shapes.add((bm, s))
-    return [(bm, s, native.chunk_prep_spans(chunk, capacity, bm=bm, s=s))
-            for bm, s in sorted(shapes)]
+            shapes.add((bm, s, pack))
+    return [(bm, s, pack,
+             native.chunk_prep_spans(chunk, capacity, bm=bm, s=s,
+                                     q=32 * pack))
+            for bm, s, pack in sorted(shapes)]
 
 
-def prep_key(bm, s, cache_key):
-    """Cache key of a one-hot-kernel prep: self-describing in (bm, s)."""
-    return f"prep|{bm}x{s}|{cache_key}"
+def prep_key(bm, s, cache_key, pack=1):
+    """Cache key of a one-hot-kernel prep: self-describing in
+    (bm, s, pack)."""
+    return f"prep|{bm}x{s}p{pack}|{cache_key}"
 
 
 def _flatten_coords(voxel_coords, sparse_shape):
@@ -219,8 +223,8 @@ def build_rulebooks(plan, voxel_coords, sparse_shape,
                 for kk in ikeys:
                     ck = subm_cache_key(kk, spatial, k, dil)
                     out["chunk|" + ck] = chunk
-                    for bm, s, prep in preps:
-                        out[prep_key(bm, s, ck)] = prep
+                    for bm, s, pk, prep in preps:
+                        out[prep_key(bm, s, ck, pk)] = prep
             else:
                 gather = native.subm_rulebook(coords, spatial, k, dil)
                 for kk in ikeys:
@@ -234,10 +238,10 @@ def build_rulebooks(plan, voxel_coords, sparse_shape,
                 ck = down_cache_key(spatial, k, s, p, cap_param)
                 # stored len-2: out_spatial is static math device-side
                 out["chunkdown|" + ck] = (oc, chunk)
-                for bm, ss, prep in _preps_for(native, chunk,
-                                               coords.shape[0], cin,
-                                               prep_dtypes):
-                    out[prep_key(bm, ss, ck)] = prep
+                for bm, ss, pk, prep in _preps_for(native, chunk,
+                                                   coords.shape[0], cin,
+                                                   prep_dtypes):
+                    out[prep_key(bm, ss, ck, pk)] = prep
             else:
                 oc, gather, out_spatial = native.downsample_rulebook(
                     coords, spatial, k, s, p, cap)
@@ -295,16 +299,16 @@ def build_for_backbone(backbone_name, model_cfg, grid_size, voxel_coords,
                                     if res else []):
             ck = subm_cache_key(kk, spatial, 3, 1)
             out["chunk|" + ck] = books["subm"][stage]
-            for bm, ss, prep in preps:
-                out[prep_key(bm, ss, ck)] = prep
+            for bm, ss, pk, prep in preps:
+                out[prep_key(bm, ss, ck, pk)] = prep
         if stage == 3:
             break
         oc, chunk = books["down"][stage]
         dk = down_cache_key(spatial, 3, 2, pads[stage], cap_list[stage])
         out["chunkdown|" + dk] = (oc, chunk)
-        for bm, ss, prep in _preps_for(native, chunk, ns[stage],
-                                       chans[stage], prep_dtypes):
-            out[prep_key(bm, ss, dk)] = prep
+        for bm, ss, pk, prep in _preps_for(native, chunk, ns[stage],
+                                           chans[stage], prep_dtypes):
+            out[prep_key(bm, ss, dk, pk)] = prep
         spatial = down_out_spatial(spatial, 3, 2, pads[stage])
     return out
 

@@ -211,15 +211,15 @@ def _get_chunk_prep(chunk, capacity, cin, rulebook_cache, cache_key,
     """Cached pallas_conv.prepare_chunk for a rulebook (anchors/codes/
     span starts are pure functions of the chunk table).  Returns None when
     the one-hot kernel cannot apply, letting the wrapper fall back without
-    computing spans.  (bm, s) follow ``pallas_conv.choose_block`` for the
-    EXECUTION dtype — the same per-dtype policy the host planner builds
-    preps for in C++, and the cache key embeds (bm, s) so a host prep built
-    under a different policy choice (e.g. a plan with a stale cin) is
+    computing spans.  (bm, s, pack) follow ``pallas_conv.block_for`` for
+    the EXECUTION dtype — the same per-dtype policy the host planner builds
+    preps for in C++, and the cache key embeds (bm, s, pack) so a host prep
+    built under a different policy choice (e.g. a plan with a stale cin) is
     missed, not misused."""
-    bm, s, _ = pallas_conv.choose_block(capacity, cin, dtype)
+    bm, s, _, pack = pallas_conv.block_for(capacity, cin, dtype)
     if not pallas_conv.onehot_conv_available(capacity, 0, s, bm):
         return None
-    key = f"prep|{bm}x{s}|{cache_key}"
+    key = f"prep|{bm}x{s}p{pack}|{cache_key}"
     prep = rulebook_cache.get(key) if rulebook_cache is not None else None
     if prep is not None and len(prep) == 2:
         # host shipped the reduced (span_q, ovf) form: derive anchor/code
@@ -227,7 +227,7 @@ def _get_chunk_prep(chunk, capacity, cin, rulebook_cache, cache_key,
         prep = pallas_conv.complete_prep(chunk, capacity, prep, bm)
         rulebook_cache[key] = prep
     if prep is None:
-        prep = pallas_conv.prepare_chunk(chunk, capacity, bm, s)
+        prep = pallas_conv.prepare_chunk(chunk, capacity, bm, s, pack=pack)
         if rulebook_cache is not None:
             rulebook_cache[key] = prep
     return prep

@@ -42,11 +42,46 @@ from . import engine
 # host planner and the native runtime wrappers; re-exported here for
 # existing importers
 from .policy import (Q, DEFAULT_BM, DEFAULT_S,  # noqa: F401
-                     choose_block, overflow_cap)
+                     block_for, choose_block, overflow_cap, pack_for)
+
+
+def _ceil128(w):
+    return -(-int(w) // 128) * 128
+
+
+def _realign(x, sub, code, pack, cw, wpad, c_ch):
+    """Un-pack + code-realign one gathered row block (r5 packed kernel).
+
+    x: (BM, pack*cw) — the matmul-gathered PACKED span rows; ``sub`` =
+    which of the ``pack`` windows each output row wants; ``code`` = the
+    x-tap realignment shift (engine.chunk_anchor_code).  Returns
+    (BM, wpad) rows aligned for the weight GEMM: window ``sub`` moved to
+    lane 0 via a log2(pack) binary select tree, then shifted right by
+    code*c_ch lanes (values pushed past the logical window meet zero
+    weight rows / are dropped — exact either way)."""
+    p = pack
+    # keep the select key 2-D int32 throughout: Mosaic rejects 1-D bool
+    # minor-dim reshapes (vector<Nxi1> -> vector<Nx1xi1>), same class of
+    # restriction as the r4 16-bit reshape removal
+    s_rem = sub[:, None] if p > 1 else None
+    while p > 1:
+        p //= 2
+        take_hi = s_rem >= p
+        x = jnp.where(take_hi, x[:, p * cw:], x[:, :p * cw])
+        s_rem = jnp.where(take_hi, s_rem - p, s_rem)
+    bm = x.shape[0]
+    z = jnp.zeros((bm, c_ch), x.dtype)
+    tail = wpad - cw
+    zt = [jnp.zeros((bm, tail), x.dtype)] if tail else []
+    r0 = jnp.concatenate([x] + zt, axis=-1) if tail else x
+    r1 = jnp.concatenate([z, x[:, :cw - c_ch]] + zt, axis=-1)
+    r2 = jnp.concatenate([z, z, x[:, :cw - 2 * c_ch]] + zt, axis=-1)
+    ccol = code[:, None]
+    return jnp.where(ccol == 1, r1, jnp.where(ccol == 2, r2, r0))
 
 
 def _kernel_v2(ss_ref, anchor_ref, code_ref, f3_hbm, w_ref, out_ref, *,
-               bm, s, gk, w_ch, c_ch, acc_dtype):
+               bm, sp, gk, cw, wpad, c_ch, pack, acc_dtype):
     """One grid step per output block; the kernel loops over the G kernel-
     offset groups internally with double-buffered span DMAs, so the per-
     grid-step pipeline overhead is paid once per ~G*2 MXU matmuls instead
@@ -54,15 +89,21 @@ def _kernel_v2(ss_ref, anchor_ref, code_ref, f3_hbm, w_ref, out_ref, *,
     and multiplied only for the (rare) blocks that need it.
 
     ss_ref (scalar prefetch): (3, NB, G) int32 — [span_a_q, span_b_q,
-    use_b]; anchors outside both spans were routed to the overflow-COO
-    residual outside the kernel."""
+    use_b] in Q-granules of PACKED rows; anchors outside both spans were
+    routed to the overflow-COO residual outside the kernel.
+
+    r5 packing: f3_hbm is the window matrix reshaped (N/pack, pack*cw);
+    ``sp`` span rows are PACKED rows, anchors are still logical (the kernel
+    splits a -> a//pack row + a%pack window), so each span fetch carries
+    ``pack`` windows and the one-hot compare shrinks by the same factor."""
     i = pl.program_id(0)
+    wk = pack * cw
 
     def body(span_buf, acc_ref, sems):
         def dma(g, slot, which):
             s0 = ss_ref[which, i * gk + g] * Q
             return pltpu.make_async_copy(
-                f3_hbm.at[pl.ds(s0, s), :],
+                f3_hbm.at[pl.ds(s0, sp), :],
                 span_buf.at[2 * slot + which],
                 sems.at[2 * slot + which],
             )
@@ -79,6 +120,7 @@ def _kernel_v2(ss_ref, anchor_ref, code_ref, f3_hbm, w_ref, out_ref, *,
 
         start(0, 0, 0, True)
         start(0, 0, 1, ss_ref[2, i * gk] == 1)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (bm, sp), 1)  # hoisted
         for g in range(gk):                      # static unroll
             slot = g % 2
             nslot = 1 - slot
@@ -87,12 +129,13 @@ def _kernel_v2(ss_ref, anchor_ref, code_ref, f3_hbm, w_ref, out_ref, *,
                 start(g + 1, nslot, 0, True)
                 start(g + 1, nslot, 1, ss_ref[2, i * gk + g + 1] == 1)
             wait(g, slot, 0, True)
-            a = anchor_ref[g]                    # (BM,)
+            a = anchor_ref[g]                    # (BM,) logical anchors
             code = code_ref[g]
+            ap = jnp.floor_divide(a, pack) if pack > 1 else a
+            sub = a - ap * pack if pack > 1 else None
             s0a = ss_ref[0, i * gk + g] * Q
-            ila = a - s0a
-            in_a = (ila >= 0) & (ila < s)
-            iota = jax.lax.broadcasted_iota(jnp.int32, (bm, s), 1)
+            ila = ap - s0a
+            in_a = (ila >= 0) & (ila < sp)
             span_a = span_buf[2 * slot]
             oha = (iota == ila[:, None]).astype(span_a.dtype)
             rows = jnp.dot(oha, span_a, preferred_element_type=acc_dtype)
@@ -101,21 +144,14 @@ def _kernel_v2(ss_ref, anchor_ref, code_ref, f3_hbm, w_ref, out_ref, *,
 
             def with_b():
                 s0b = ss_ref[1, i * gk + g] * Q
-                ilb = jnp.where(in_a, -1, a - s0b)
+                ilb = jnp.where(in_a, -1, ap - s0b)
                 ohb = (iota == ilb[:, None]).astype(span_a.dtype)
                 return rows + jnp.dot(ohb, span_buf[2 * slot + 1],
                                       preferred_element_type=acc_dtype)
 
             rows2 = jax.lax.cond(use_b, with_b, lambda: rows)
             rows2 = rows2.astype(span_a.dtype)   # exact: selected values
-            # code realignment: shift right by code*C lanes (values shifted
-            # past the logical 3C width meet zero weight rows, so the
-            # full-width shift is safe)
-            z = jnp.zeros((bm, c_ch), span_a.dtype)
-            r1 = jnp.concatenate([z, rows2[:, :w_ch - c_ch]], axis=-1)
-            r2 = jnp.concatenate([z, z, rows2[:, :w_ch - 2 * c_ch]], axis=-1)
-            ccol = code[:, None]
-            rows2 = jnp.where(ccol == 1, r1, jnp.where(ccol == 2, r2, rows2))
+            rows2 = _realign(rows2, sub, code, pack, cw, wpad, c_ch)
             contrib = jnp.dot(rows2, w_ref[g],
                               preferred_element_type=acc_dtype)
             if g == 0:
@@ -126,47 +162,49 @@ def _kernel_v2(ss_ref, anchor_ref, code_ref, f3_hbm, w_ref, out_ref, *,
 
     pl.run_scoped(
         body,
-        pltpu.VMEM((4, s, w_ch), f3_hbm.dtype),
+        pltpu.VMEM((4, sp, wk), f3_hbm.dtype),
         pltpu.VMEM((bm, out_ref.shape[-1]), acc_dtype),
         pltpu.SemaphoreType.DMA((4,)),
     )
 
 
 def _kernel_v3(ss_ref, anchor_ref, code_ref, f3_ref, w_ref, out_ref, *,
-               bm, s, gk, w_ch, c_ch, acc_dtype, uncond_b):
-    """VMEM-resident variant: the whole window matrix lives in VMEM, so a
-    span is a direct aligned dynamic-slice read — no DMA machinery, no
-    latency to hide.  Preferred whenever f3 fits (always for int8).
+               bm, sp, gk, cw, wpad, c_ch, pack, acc_dtype, uncond_b):
+    """VMEM-resident variant: the whole (packed) window matrix lives in
+    VMEM, so a span is a direct aligned dynamic-slice read — no DMA
+    machinery, no latency to hide.  Preferred whenever f3 fits (packing
+    cuts the footprint ~2.7x at narrow channels, so most stages now do).
 
     uncond_b: compute the span-B contribution unconditionally (masked
     one-hot) instead of behind a lax.cond — trades a second matmul on every
     group for branch-free straight-line code the Mosaic pipeline can
     software-pipeline.
 
-    The one-hot construction (an (BM, S) iota-vs-anchor compare per group)
-    is the kernel's VPU-bound floor at narrow channels.  It runs in int32:
-    the 2026-08 Mosaic release dropped both 16-bit minor-dim reshapes and
-    packed 16-bit vector compares ("Target does not support this
-    comparison"), so the r3 half-width 2x-lane-density trick no longer
-    lowers; int32 is the widest layout every toolchain accepts."""
+    The one-hot construction (an (BM, SP) iota-vs-anchor compare per group)
+    is the kernel's VPU-bound floor at narrow channels.  It runs in int32
+    (the 2026-08 Mosaic release dropped both 16-bit minor-dim reshapes and
+    packed 16-bit vector compares); the r5 row-packing divides its size by
+    ``pack`` instead of fighting the layout rules."""
     i = pl.program_id(0)
-    iota32 = jax.lax.broadcasted_iota(jnp.int32, (bm, s), 1)
+    iota32 = jax.lax.broadcasted_iota(jnp.int32, (bm, sp), 1)
     acc = None
     for g in range(gk):                          # static unroll
-        a = anchor_ref[g]                        # (BM,)
+        a = anchor_ref[g]                        # (BM,) logical anchors
         code = code_ref[g]
+        ap = jnp.floor_divide(a, pack) if pack > 1 else a
+        sub = a - ap * pack if pack > 1 else None
         s0a = ss_ref[0, i * gk + g] * Q
-        span_a = f3_ref[pl.ds(s0a, s), :]
-        ila = a - s0a
-        in_a = (ila >= 0) & (ila < s)
+        span_a = f3_ref[pl.ds(s0a, sp), :]
+        ila = ap - s0a
+        in_a = (ila >= 0) & (ila < sp)
         oha = (iota32 == ila[:, None]).astype(span_a.dtype)
         rows = jnp.dot(oha, span_a, preferred_element_type=acc_dtype)
 
         if uncond_b:
             s0b = ss_ref[1, i * gk + g] * Q
-            span_b = f3_ref[pl.ds(s0b, s), :]
+            span_b = f3_ref[pl.ds(s0b, sp), :]
             live_b = (ss_ref[2, i * gk + g] == 1) & ~in_a
-            ilb = jnp.where(live_b, a - s0b, -1)
+            ilb = jnp.where(live_b, ap - s0b, -1)
             ohb = (iota32 == ilb[:, None]).astype(span_b.dtype)
             rows2 = rows + jnp.dot(ohb, span_b,
                                    preferred_element_type=acc_dtype)
@@ -175,19 +213,15 @@ def _kernel_v3(ss_ref, anchor_ref, code_ref, f3_ref, w_ref, out_ref, *,
 
             def with_b():
                 s0b = ss_ref[1, i * gk + g] * Q
-                span_b = f3_ref[pl.ds(s0b, s), :]
-                ilb = jnp.where(in_a, -1, a - s0b)
+                span_b = f3_ref[pl.ds(s0b, sp), :]
+                ilb = jnp.where(in_a, -1, ap - s0b)
                 ohb = (iota32 == ilb[:, None]).astype(span_b.dtype)
                 return rows + jnp.dot(ohb, span_b,
                                       preferred_element_type=acc_dtype)
 
             rows2 = jax.lax.cond(use_b, with_b, lambda: rows)
         rows2 = rows2.astype(f3_ref.dtype)       # exact: selected values
-        z = jnp.zeros((bm, c_ch), f3_ref.dtype)
-        r1 = jnp.concatenate([z, rows2[:, :w_ch - c_ch]], axis=-1)
-        r2 = jnp.concatenate([z, z, rows2[:, :w_ch - 2 * c_ch]], axis=-1)
-        ccol = code[:, None]
-        rows2 = jnp.where(ccol == 1, r1, jnp.where(ccol == 2, r2, rows2))
+        rows2 = _realign(rows2, sub, code, pack, cw, wpad, c_ch)
         contrib = jnp.dot(rows2, w_ref[g], preferred_element_type=acc_dtype)
         acc = contrib if acc is None else acc + contrib
     out_ref[...] = acc
@@ -199,14 +233,19 @@ VMEM_F3_LIMIT = 12 * 1024 * 1024
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("bm", "s", "cin", "interpret", "uncond"))
-def _onehot_conv_call(f3, anchor, code, span_q, weight, bm, s, cin,
+                   static_argnames=("bm", "sp", "cin", "pack", "interpret",
+                                    "uncond"))
+def _onehot_conv_call(f3, anchor, code, span_q, weight, bm, sp, cin, pack,
                       interpret, uncond=False):
-    """f3 (Npad, Wpad); anchor/code (G, Mpad); span_q (3, NB, G) int32
-    [sa_q, sb_q, use_b]; weight (G, Wpad, Cout); cin = LOGICAL input
-    channels (the realignment shift) -> (Mpad, Cout) acc_dtype."""
+    """f3 (Npad/pack, pack*cw) packed window matrix; anchor/code (G, Mpad)
+    with LOGICAL anchors; span_q (3, NB, G) int32 [sa_q, sb_q, use_b] in
+    Q-granules of packed rows; weight (G, wpad, Cout); cin = LOGICAL input
+    channels (the realignment shift); sp = span rows (packed)
+    -> (Mpad, Cout) acc_dtype."""
     gk, mpad = anchor.shape
-    w_ch = f3.shape[1]
+    wk = f3.shape[1]
+    cw = wk // pack
+    wpad = _ceil128(cw) if pack > 1 else cw
     cout = weight.shape[2]
     nb = mpad // bm
     acc_dtype = jnp.int32 if f3.dtype == jnp.int8 else jnp.float32
@@ -222,17 +261,16 @@ def _onehot_conv_call(f3, anchor, code, span_q, weight, bm, s, cin,
             pl.BlockSpec((gk, bm), lambda i, ss: (0, i)),
             pl.BlockSpec((gk, bm), lambda i, ss: (0, i)),
             pl.BlockSpec(memory_space=pltpu.VMEM if use_vmem else pltpu.ANY),
-            pl.BlockSpec((gk, w_ch, cout), lambda i, ss: (0, 0, 0)),
+            pl.BlockSpec((gk, wpad, cout), lambda i, ss: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((bm, cout), lambda i, ss: (i, 0)),
     )
+    kw = dict(bm=bm, sp=sp, gk=gk, cw=cw, wpad=wpad, c_ch=cin, pack=pack,
+              acc_dtype=acc_dtype)
     if use_vmem:
-        kern = functools.partial(_kernel_v3, bm=bm, s=s, gk=gk, w_ch=w_ch,
-                                 c_ch=cin, acc_dtype=acc_dtype,
-                                 uncond_b=uncond)
+        kern = functools.partial(_kernel_v3, uncond_b=uncond, **kw)
     else:
-        kern = functools.partial(_kernel_v2, bm=bm, s=s, gk=gk, w_ch=w_ch,
-                                 c_ch=cin, acc_dtype=acc_dtype)
+        kern = functools.partial(_kernel_v2, **kw)
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -258,29 +296,36 @@ def split_chunk_table(chunk_idx, capacity):
     return anchor.astype(jnp.int32), code
 
 
-def block_spans(anchor, capacity, bm, s):
+def block_spans(anchor, capacity, bm, s, pack=1):
     """Two span starts per (block, offset) + per-entry coverage.
 
-    anchor: (Mpad, G) with -1 miss.  Span A starts at the block's min
-    anchor; span B ends just past its max — together they cover every
-    block whose anchors form at most two clusters (the single z/y-row
+    anchor: (Mpad, G) with -1 miss, LOGICAL rows.  Span A starts at the
+    block's min anchor; span B ends just past its max — together they cover
+    every block whose anchors form at most two clusters (the single z/y-row
     crossing case that breaks one contiguous span).  Returns
-    (span_q (2, NB, G) int32 in Q-units, covered (Mpad, G) bool).  Anchors
-    not covered are handled by the overflow residual pass."""
+    (span_q (3, NB, G) int32 in granule units, covered (Mpad, G) bool).
+    Anchors not covered are handled by the overflow residual pass.
+
+    ``pack``: span-start granule = Q * pack logical rows (Q PACKED rows) —
+    the same parameterization the C++ twin exposes as ``q``
+    (runtime/src/rulebook.cpp chunk_prep_impl); span length ``s`` stays in
+    logical rows and must divide by the granule."""
+    q = Q * pack
+    assert s % q == 0, (s, q)
     mpad, gk = anchor.shape
     nb = mpad // bm
     a = anchor.reshape(nb, bm, gk)
     big = jnp.int32(1 << 30)
     amin = jnp.min(jnp.where(a < 0, big, a), axis=1)          # (NB, G)
     amax = jnp.max(a, axis=1)                                 # -1 if all miss
-    npad_q = (capacity + Q - 1) // Q
-    hi = jnp.maximum(npad_q - s // Q, 0)
-    sa = jnp.clip(jnp.where(amin == big, 0, amin // Q), 0, hi)
-    # B covers [amax - S + 1, amax]: start = ceil((amax + 1 - s) / Q)
-    sb = jnp.clip(jnp.where(amax < 0, 0, (amax + 1 - s + Q - 1) // Q),
+    npad_q = (capacity + q - 1) // q
+    hi = jnp.maximum(npad_q - s // q, 0)
+    sa = jnp.clip(jnp.where(amin == big, 0, amin // q), 0, hi)
+    # B covers [amax - S + 1, amax]: start = ceil((amax + 1 - s) / q)
+    sb = jnp.clip(jnp.where(amax < 0, 0, (amax + 1 - s + q - 1) // q),
                   0, hi)
-    in_a = (a >= sa[:, None, :] * Q) & (a < sa[:, None, :] * Q + s)
-    in_b = (a >= sb[:, None, :] * Q) & (a < sb[:, None, :] * Q + s)
+    in_a = (a >= sa[:, None, :] * q) & (a < sa[:, None, :] * q + s)
+    in_b = (a >= sb[:, None, :] * q) & (a < sb[:, None, :] * q + s)
     # span B only earns its DMA + matmul when it covers anchors A misses
     use_b = jnp.any(in_b & ~in_a & (a >= 0), axis=1).astype(jnp.int32)
     covered = ((a < 0) | in_a | (in_b & use_b[:, None, :].astype(bool)))
@@ -345,13 +390,15 @@ def gather_conv_chunked_fast(features, keys, xcol, nx, chunk_idx, weight,
                              preferred_dtype=jnp.float32, gemm_transform=None,
                              bm=None, s=None, uncond=False, interpret=None,
                              prep=None, force_kernel=False,
-                             allow_kernel=True):
+                             allow_kernel=True, pack=None):
     """Drop-in accelerated ``engine.gather_conv_chunked``: one-hot span
     kernel + exact overflow-COO residual.  Falls back to the plain gather
     path (lax.cond) only when the overflow list overflows its capacity.
 
     prep: optional cached result of ``prepare_chunk`` — pass it when
-    several convs share one rulebook.
+    several convs share one rulebook (it must have been built with the
+    same (bm, s, pack)).
+    pack: row-packing factor (policy.pack_for default); 1 disables.
     """
     if gemm_transform is not None:
         return engine.gather_conv_chunked(
@@ -362,7 +409,13 @@ def gather_conv_chunked_fast(features, keys, xcol, nx, chunk_idx, weight,
     m, gk = chunk_idx.shape
     kk, _, cout = weight.shape
     if bm is None or s is None:
-        bm, s, uncond = choose_block(n, cin, features.dtype)
+        bm, s, uncond, pk = block_for(n, cin, features.dtype)
+        if pack is None:
+            pack = pk
+    if pack is None:
+        pack = pack_for(cin)
+    if s % (Q * pack) != 0:
+        pack = 1
     # measured v5e routing (tools/profile_conv_paths.py, bm256/s512): the
     # one-hot kernel beats the row gather at EVERY backbone stage and both
     # dtypes (C=16: 0.89 vs 1.87 bf16, 0.83 vs 1.33 int8; C=128: 0.68 vs
@@ -380,21 +433,29 @@ def gather_conv_chunked_fast(features, keys, xcol, nx, chunk_idx, weight,
         interpret = jax.devices()[0].platform == "cpu"
 
     if prep is None:
-        prep = prepare_chunk(chunk_idx, n, bm, s)
+        prep = prepare_chunk(chunk_idx, n, bm, s, pack=pack)
     anchor, code, span_q, ovf, ok = prep
 
     f3 = engine.x_window_matrix(features, keys, xcol, nx)     # (N, 3C)
-    f3p = _pad_rows(f3, Q)
     w3 = weight.reshape(gk, 3 * cin, cout)
-    # lane-align the window width for Mosaic DMA slices (zero weight rows
-    # null out the pad lanes)
-    wp = (-(3 * cin) % 128)
-    f3k = jnp.pad(f3p, ((0, 0), (0, wp))) if wp else f3p
+    if pack > 1:
+        # r5: P window rows per span row — zero lane padding (P*3C is a
+        # 128 multiple by construction), 1/P one-hot compares, 1/P span
+        # footprint.  A pure reshape: no extra data movement.
+        f3k = _pad_rows(f3, Q * pack).reshape(-1, pack * 3 * cin)
+        wp = (-(3 * cin)) % 128
+    else:
+        f3p = _pad_rows(f3, Q)
+        # lane-align the window width for Mosaic DMA slices (zero weight
+        # rows null out the pad lanes)
+        wp = (-(3 * cin)) % 128
+        f3k = jnp.pad(f3p, ((0, 0), (0, wp))) if wp else f3p
     w3k = jnp.pad(w3, ((0, 0), (0, wp), (0, 0))) if wp else w3
+    sp = s // pack
 
     def fast(_):
-        acc = _onehot_conv_call(f3k, anchor.T, code.T, span_q, w3k, bm, s,
-                                cin, interpret, uncond)
+        acc = _onehot_conv_call(f3k, anchor.T, code.T, span_q, w3k, bm, sp,
+                                cin, pack, interpret, uncond)
         acc = apply_overflow(acc, f3, w3, ovf, cin)[:m]
         return acc.astype(jnp.float32) if features.dtype == jnp.int8 \
             else acc.astype(features.dtype)
@@ -412,13 +473,15 @@ def gather_conv_chunked_fast(features, keys, xcol, nx, chunk_idx, weight,
     return out
 
 
-def prepare_chunk(chunk_idx, capacity, bm=DEFAULT_BM, s=DEFAULT_S, cap=None):
+def prepare_chunk(chunk_idx, capacity, bm=DEFAULT_BM, s=DEFAULT_S, cap=None,
+                  pack=1):
     """Split + pad a combined chunk table, compute its block spans and the
-    overflow-COO list.  Cache per rulebook (pure function of indices)."""
+    overflow-COO list.  Cache per rulebook (pure function of indices).
+    ``pack`` must match the execution-time packing (span granule Q*pack)."""
     anchor, code = split_chunk_table(chunk_idx, capacity)
     anchor = _pad_rows(anchor, bm, fill=-1)
     code = _pad_rows(code, bm, fill=0)
-    span_q, covered = block_spans(anchor, capacity, bm, s)
+    span_q, covered = block_spans(anchor, capacity, bm, s, pack=pack)
     ovf = overflow_entries(anchor, code, covered,
                            cap or overflow_cap(chunk_idx.shape[0]))
     return anchor, code, span_q, ovf, ovf[-1]
@@ -428,7 +491,10 @@ def complete_prep(chunk_idx, capacity, reduced, bm):
     """Expand a host-reduced prep (``native.chunk_prep_spans``: span_q + the
     overflow COO) into the full prepare_chunk tuple by deriving anchor/code
     from the chunk table on device — two compares + a multiply-subtract,
-    so the host needn't ship 2x the chunk's bytes."""
+    so the host needn't ship 2x the chunk's bytes.  (span_q carries its
+    granule implicitly: the host built it with q = Q * pack, and the
+    consumer must execute with the same pack — the prep cache key pins
+    this.)"""
     span_q, ovf = reduced
     anchor, code = split_chunk_table(chunk_idx, capacity)
     anchor = _pad_rows(anchor, bm, fill=-1)

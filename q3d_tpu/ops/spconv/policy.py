@@ -25,9 +25,122 @@ DEFAULT_S = 256           # span rows per (block, offset) — must be mult of Q
 # this so frame-to-frame variation in the measured overflow maps to a small
 # set of compiled shapes (each distinct cap is a distinct jitted program)
 CAP_GRANULE = 512
+
+
+def pack_for(cin):
+    """Row-packing factor P for the one-hot span kernel (r5).
+
+    P consecutive window rows share ONE span row of P*3*cin lanes, chosen
+    so the packed width is an exact multiple of the 128-lane tile:
+    C16 -> P=8 (384 lanes), C32 -> P=4 (384), C64 -> P=2 (384).  On paper
+    this divides the (BM, S) one-hot compare — the dtype-neutral VPU floor
+    — by P, removes the span matmul's lane-padding waste (C16: 48 lanes
+    padded to 128 = 2.7x), and shrinks span DMA/VMEM bytes the same 2.7x.
+
+    MEASURED on the 2026-08 toolchain (tools/profile_conv_paths.py
+    --configs '512:768:p1,512:768,...', v5e, bench envelope, int8 ms/conv):
+    C16 packed 1.64-1.76 vs 1.005 unpacked; C32 1.17-2.29 vs 0.924;
+    C64 1.10-1.24 vs 0.736 — the log2(P) sub-window select tree (lane
+    rotations at 3C-lane offsets, off the 128 tile grid) costs more than
+    the saved compares + padding on this Mosaic.  DEFAULT OFF; the full
+    machinery (kernel path, preps with q = 32*P granule, native parity,
+    exactness tests) stays in place — re-probe with
+    ``Q3D_SPAN_PACK=auto`` or the :pN sweep suffix after a toolchain bump
+    (sub-tile shuffles are exactly the cost class these releases keep
+    moving).
+    """
+    import os
+    if os.environ.get("Q3D_SPAN_PACK", "off") == "off":
+        return 1
+    w = 3 * int(cin)
+    for p in (8, 4, 2):
+        if (w * p) % 128 == 0 and w * p <= 512:
+            return p
+    return 1
+
+
+def block_for(capacity, cin, dtype=None):
+    """(bm, s, uncond_b, pack) — ``choose_block`` plus the packing factor,
+    with s rounded up to the packed span granule (Q * pack) so span starts
+    stay tile-aligned in packed rows.  Single source for the device
+    wrapper, the host planner and the prep cache keys."""
+    bm, s, uncond = choose_block(capacity, cin, dtype)
+    pack = pack_for(cin)
+    g = Q * pack
+    s = -(-s // g) * g
+    return bm, s, uncond, pack
 # headroom over the measured overflow count (frames at one envelope vary
 # ~±35% around the mean in r4 measurements; 1.6x holds that with margin)
 CAP_HEADROOM = 1.6
+
+
+# ---------------------------------------------------------------------------
+# measured-policy cache (VERDICT r4 #5): the hand table below encodes sweep
+# results for ONE toolchain; Mosaic cost-model changes have silently
+# invalidated it twice (r3, r4 postmortems).  tools/autotune_policy.py
+# re-sweeps on the CURRENT toolchain and commits the optima to
+# policy_cache.json keyed by the jax/jaxlib version; choose_block prefers a
+# cache entry for the running toolchain and falls back to the builtin table
+# otherwise.  ``policy_source()`` reports which one is live — bench.py
+# records it in the benchmark artifact so a silent mistune is visible.
+# ---------------------------------------------------------------------------
+
+_POLICY_CACHE = None
+
+
+def toolchain_tag():
+    import jax
+    try:
+        import jaxlib
+        jl = getattr(jaxlib, "__version__", "?")
+    except Exception:  # noqa: BLE001
+        jl = "?"
+    return f"jax{jax.__version__}+jaxlib{jl}"
+
+
+def _load_cache():
+    global _POLICY_CACHE
+    if _POLICY_CACHE is None:
+        import json
+        from pathlib import Path
+        p = Path(__file__).with_name("policy_cache.json")
+        try:
+            _POLICY_CACHE = json.loads(p.read_text())
+        except Exception:  # noqa: BLE001
+            _POLICY_CACHE = {}
+    return _POLICY_CACHE
+
+
+def capacity_bucket(capacity, cin):
+    """The builtin table's capacity tiers, named for cache keys."""
+    if cin <= 64 and capacity >= 90000:
+        return "ref"
+    if capacity >= 2048:
+        return "bench"
+    if capacity >= 512:
+        return "small"
+    return "tiny"
+
+
+def _cache_lookup(capacity, cin, dtype):
+    cache = _load_cache().get(toolchain_tag())
+    if not cache:
+        return None
+    tag = "int8" if (dtype is not None and "int8" in str(dtype)) else "fp"
+    ent = cache.get(f"{capacity_bucket(capacity, cin)}|{cin}|{tag}")
+    if ent is None:
+        return None
+    bm, s, uncond = int(ent[0]), int(ent[1]), bool(ent[2])
+    if capacity >= s and capacity >= bm:
+        return bm, s, uncond
+    return None
+
+
+def policy_source():
+    """'cache' when policy_cache.json carries entries for the RUNNING
+    toolchain (autotuned), else 'builtin' (hand table — possibly tuned on
+    an older toolchain)."""
+    return "cache" if _load_cache().get(toolchain_tag()) else "builtin"
 
 
 def choose_block(capacity, cin, dtype=None):
@@ -49,6 +162,9 @@ def choose_block(capacity, cin, dtype=None):
     host build (~15 ms, already near the max(host, device) critical path).
     The policy is tuned for the int8 deployment mode; measured bf16 times at
     these configs are within noise of its own former configs."""
+    cached = _cache_lookup(capacity, cin, dtype)
+    if cached is not None:
+        return cached
     # NOTE (r2): isolated-conv sweeps (tools/profile_conv_paths.py) suggest
     # bigger int8 blocks (C16@40k 0.632 @768/768u vs 0.762; C128@17k 0.280
     # @512/384u vs 0.381) but every in-graph A/B REGRESSED the end-to-end

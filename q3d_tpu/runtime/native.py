@@ -317,19 +317,19 @@ _CAP_MEMO = {}
 _CAP_MEMO_MAX = 512
 
 
-def _resolve_cap(m, g, bm, s, capacity):
+def _resolve_cap(m, g, bm, s, capacity, q=32):
     from ..ops.spconv import policy
-    return _CAP_MEMO.get((m, g, bm, s, capacity), policy.CAP_GRANULE)
+    return _CAP_MEMO.get((m, g, bm, s, q, capacity), policy.CAP_GRANULE)
 
 
-def _update_cap(m, g, bm, s, capacity, count, cap):
+def _update_cap(m, g, bm, s, capacity, count, cap, q=32):
     """Post-call memo update; returns the retry cap when the list burst.
 
     The memo grows ONLY on a burst (count > cap): frames that fit keep the
     current rung, so steady-state streaming sees one stable shape per stage
     instead of drifting caps that would recompile every window."""
     from ..ops.spconv import policy
-    key = (m, g, bm, s, capacity)
+    key = (m, g, bm, s, q, capacity)
     if key not in _CAP_MEMO and len(_CAP_MEMO) >= _CAP_MEMO_MAX:
         _CAP_MEMO.pop(next(iter(_CAP_MEMO)))     # FIFO eviction (dicts
         # preserve insertion order); stable configs re-seed in one pass
@@ -358,7 +358,7 @@ def chunk_prep(chunk, capacity, bm=128, s=256, q=32, cap=None):
     m, g = chunk.shape
     auto = cap is None
     if auto:
-        cap = _resolve_cap(m, g, bm, s, int(capacity))
+        cap = _resolve_cap(m, g, bm, s, int(capacity), q)
     mpad = ((m + bm - 1) // bm) * bm
     nb = mpad // bm
     anchor = _empty((mpad, g), np.int32)
@@ -377,7 +377,7 @@ def chunk_prep(chunk, capacity, bm=128, s=256, q=32, cap=None):
 
     span_q, ovf, count = run(cap)
     if auto:
-        retry = _update_cap(m, g, bm, s, int(capacity), count, cap)
+        retry = _update_cap(m, g, bm, s, int(capacity), count, cap, q)
         if retry is not None:
             cap = retry
             span_q, ovf, count = run(cap)
@@ -398,7 +398,7 @@ def chunk_prep_spans(chunk, capacity, bm=128, s=256, q=32, cap=None):
     m, g = chunk.shape
     auto = cap is None
     if auto:
-        cap = _resolve_cap(m, g, bm, s, int(capacity))
+        cap = _resolve_cap(m, g, bm, s, int(capacity), q)
     mpad = ((m + bm - 1) // bm) * bm
     nb = mpad // bm
 
@@ -415,7 +415,7 @@ def chunk_prep_spans(chunk, capacity, bm=128, s=256, q=32, cap=None):
 
     span_q, ovf, count = run(cap)
     if auto:
-        retry = _update_cap(m, g, bm, s, int(capacity), count, cap)
+        retry = _update_cap(m, g, bm, s, int(capacity), count, cap, q)
         if retry is not None:
             cap = retry
             span_q, ovf, count = run(cap)

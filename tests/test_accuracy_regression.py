@@ -63,14 +63,20 @@ def test_fp32_model_actually_detects(trained):
     assert res["mAP"] > 0.3, res
 
 
-def test_int8_deploy_nds_drop_within_1pct(trained):
+@pytest.mark.parametrize("head_bf16", [False, True],
+                         ids=["full", "head_bf16"])
+def test_int8_deploy_nds_drop_within_1pct(trained, head_bf16):
     """North star (BASELINE.md): INT8 end-to-end with <= 1% relative NDS
-    drop vs FP32 — with the bench recipe (first conv quantized too)."""
+    drop vs FP32 — with the bench recipe (first conv quantized too).
+    head_bf16 = the r5 deployment recipe (dense head stays bf16 — measured
+    faster than int8 on v5e and strictly more accurate)."""
     from q3d_tpu.quant.api import (int8_deploy_recipe, quantize_model,
                                    collect_stats, compute_amax)
     cfg, dataset, loader, model, variables, batch = trained
     fp = _eval(cfg, dataset, loader, model, variables)
-    rules = int8_deploy_recipe(residency=True, quantize_first_conv=True)
+    extra = ("dense_head.*",) if head_bf16 else ()
+    rules = int8_deploy_recipe(residency=True, quantize_first_conv=True,
+                               extra_no_list=extra)
     v8 = quantize_model(model, variables, rules, batch)
     v8 = collect_stats(model, v8, rules, [batch] * 2, num_batches=2,
                        loader_to_device=lambda b: b)

@@ -174,26 +174,39 @@ def test_cap_policy_sweep_python_equals_native():
         cap_rows = coords.shape[0]
 
         chunk = native.subm_chunk_rulebook(coords, spatial, 3, 1)
-        bm, s, _ = policy.choose_block(cap_rows, 64, "int8")
+        # the real consumer policy (r5): block_for adds the packing factor,
+        # whose span granule q = 32 * pack parameterizes the C++ prep
+        bm, s, _, pack = policy.block_for(cap_rows, 64, "int8")
+        q = 32 * pack
 
         native._CAP_MEMO.clear()
-        got = native.chunk_prep(chunk, cap_rows, bm=bm, s=s)
+        got = native.chunk_prep(chunk, cap_rows, bm=bm, s=s, q=q)
         cap_used = got[3][0].shape[0]
         assert cap_used % policy.CAP_GRANULE == 0
         assert bool(got[4]), f"auto cap must fit at n={n_vox}"
         # steady state: second call reuses the SAME rung (shape-stable)
-        again = native.chunk_prep(chunk, cap_rows, bm=bm, s=s)
+        again = native.chunk_prep(chunk, cap_rows, bm=bm, s=s, q=q)
         assert again[3][0].shape[0] == cap_used
 
         ref = pallas_conv.prepare_chunk(jnp.asarray(chunk), cap_rows,
-                                        bm=bm, s=s, cap=cap_used)
+                                        bm=bm, s=s, cap=cap_used, pack=pack)
         for i in (0, 1, 2):
             np.testing.assert_array_equal(np.asarray(ref[i]), got[i])
         for a, b in zip(ref[3][:4], got[3][:4]):
             np.testing.assert_array_equal(np.asarray(a), b)
         assert bool(ref[4]) == bool(got[4])
 
-        red = native.chunk_prep_spans(chunk, cap_rows, bm=bm, s=s)
+        red = native.chunk_prep_spans(chunk, cap_rows, bm=bm, s=s, q=q)
         assert red[1][0].shape[0] == cap_used
         for a, b in zip(red[1][:4], got[3][:4]):
             np.testing.assert_array_equal(a, b)
+
+        # every packing tier's span grid: python == native at the same q
+        for cin_t in (16, 32, 64, 128):
+            bmt, st_, _, pkt = policy.block_for(cap_rows, cin_t, "int8")
+            gq = native.chunk_prep_spans(chunk, cap_rows, bm=bmt, s=st_,
+                                         q=32 * pkt)
+            rq = pallas_conv.prepare_chunk(jnp.asarray(chunk), cap_rows,
+                                           bm=bmt, s=st_,
+                                           cap=gq[1][0].shape[0], pack=pkt)
+            np.testing.assert_array_equal(np.asarray(rq[2]), gq[0])

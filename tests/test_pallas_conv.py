@@ -115,3 +115,67 @@ def test_onehot_conv_downsample_rulebook():
         st.features, st.keys(), st.indices[:, -1], int(spatial[-1]), cidx, w,
         out_valid=valid, bm=64, s=128, interpret=True, force_kernel=True))
     np.testing.assert_allclose(ref, out, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("cin,pack", [(16, 8), (32, 4), (64, 2)])
+def test_onehot_conv_packed_matches_chunked(cin, pack, monkeypatch):
+    """r5 row-packed kernel (P window rows per span row, P*3C lanes) ==
+    exact chunked gather, for every packing tier the policy produces.
+    (Packing is default-off — measured slower on the 2026-08 Mosaic, see
+    policy.pack_for — but the path stays correct for re-probing.)"""
+    monkeypatch.setenv("Q3D_SPAN_PACK", "auto")
+    from q3d_tpu.ops.spconv.policy import pack_for
+    assert pack_for(cin) == pack
+    rng = np.random.RandomState(cin)
+    spatial = (4, 12, 16)
+    st, _ = _sorted_sparse(rng, 2, spatial, 500, cin, 768)
+    cout = 24
+    w = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32) * 0.1)
+    chunk = engine.subm_chunk_indices(st, 3)
+    args = (st.features, st.keys(), st.indices[:, -1],
+            int(st.spatial_shape[-1]), chunk, w)
+    ref = np.asarray(engine.gather_conv_chunked(*args))
+    got = np.asarray(pallas_conv.gather_conv_chunked_fast(
+        *args, bm=64, s=512, pack=pack, interpret=True, force_kernel=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+    # pack=1 on the same (bm, s) must agree too (same spans, unpacked)
+    got1 = np.asarray(pallas_conv.gather_conv_chunked_fast(
+        *args, bm=64, s=512, pack=1, interpret=True, force_kernel=True))
+    np.testing.assert_allclose(got1, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_onehot_conv_packed_int8_exact():
+    """Packed kernel in int8 deploy form: int8 features/weights, int32
+    accumulation — must be BIT-exact vs the chunked gather GEMM."""
+    rng = np.random.RandomState(5)
+    cin, cout = 16, 8
+    spatial = (3, 10, 14)
+    st, _ = _sorted_sparse(rng, 1, spatial, 300, cin, 512)
+    q = jnp.asarray(rng.randint(-127, 128, size=(512, cin)), jnp.int8)
+    st = st.replace(features=q)
+    w = jnp.asarray(rng.randint(-20, 21, size=(27, cin, cout)), jnp.int8)
+    chunk = engine.subm_chunk_indices(st, 3)
+    args = (st.features, st.keys(), st.indices[:, -1],
+            int(st.spatial_shape[-1]), chunk, w)
+    ref = np.asarray(engine.gather_conv_chunked(*args))
+    got = np.asarray(pallas_conv.gather_conv_chunked_fast(
+        *args, bm=64, s=256, pack=8, interpret=True, force_kernel=True))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_onehot_conv_packed_policy_default_path(monkeypatch):
+    """End-to-end policy path: no explicit (bm, s) — block_for picks the
+    packed tier and the prep is built with the matching span granule."""
+    monkeypatch.setenv("Q3D_SPAN_PACK", "auto")
+    rng = np.random.RandomState(9)
+    cin, cout = 16, 16
+    spatial = (4, 14, 20)
+    st, _ = _sorted_sparse(rng, 1, spatial, 700, cin, 1024)
+    w = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32) * 0.1)
+    chunk = engine.subm_chunk_indices(st, 3)
+    args = (st.features, st.keys(), st.indices[:, -1],
+            int(st.spatial_shape[-1]), chunk, w)
+    ref = np.asarray(engine.gather_conv_chunked(*args))
+    got = np.asarray(pallas_conv.gather_conv_chunked_fast(
+        *args, interpret=True, force_kernel=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)

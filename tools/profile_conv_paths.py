@@ -32,9 +32,11 @@ def main():
     ap.add_argument("--bm", type=int, default=128)
     ap.add_argument("--s", type=int, default=256)
     ap.add_argument("--configs", default=None,
-                    help="comma list of bm:s[:u] triples to sweep (one-hot "
-                         "kernel only, e.g. 256:512,256:384:u for uncond-B); "
-                         "overrides --bm/--s")
+                    help="comma list of bm:s[:u][:pN] tuples to sweep "
+                         "(one-hot kernel only, e.g. 256:512, 256:384:u "
+                         "for uncond-B, 512:768:p8 to force pack=8, "
+                         "512:768:u:p4); pack defaults to the policy's "
+                         "pack_for(C); overrides --bm/--s")
     ap.add_argument("--dtypes", default="bf16,int8")
     ap.add_argument("--no-gather", action="store_true",
                     help="skip the plain gather-path baseline")
@@ -107,12 +109,19 @@ def main():
         nxs = int(sp[-1])
         def _parse(c):
             parts = c.split(":")
-            if len(parts) > 2 and parts[2] != "u":
-                raise ValueError(f"unrecognized config suffix {parts[2]!r} "
-                                 f"in {c!r} (expected 'u')")
-            return int(parts[0]), int(parts[1]), len(parts) > 2
+            uncond = False
+            pack = None
+            for suf in parts[2:]:
+                if suf == "u":
+                    uncond = True
+                elif suf.startswith("p"):
+                    pack = int(suf[1:])
+                else:
+                    raise ValueError(f"unrecognized config suffix {suf!r} "
+                                     f"in {c!r} (expected 'u' or 'pN')")
+            return int(parts[0]), int(parts[1]), uncond, pack
         configs = ([_parse(c) for c in args.configs.split(",")]
-                   if args.configs else [(args.bm, args.s, False)])
+                   if args.configs else [(args.bm, args.s, False, None)])
         dtype_map = {"bf16": jnp.bfloat16, "int8": jnp.int8}
         for dname in args.dtypes.split(","):
             dtype = dtype_map[dname]
@@ -140,23 +149,27 @@ def main():
                 jg = jax.jit(gfn, static_argnames=())
                 tg = time_loop(jg, feats, st_keys, xcol, chunk, w)
             entry = {"N": N, "C": C, "gather_ms": round(tg * 1e3, 3)}
-            for bm, s, uncond in configs:
+            for bm, s, uncond, pk in configs:
                 if not pallas_conv.onehot_conv_available(N, 3 * C, s, bm):
                     continue
-                prep = pallas_conv.prepare_chunk(chunk, N, bm, s)
+                pack = pk if pk is not None else pallas_conv.pack_for(C)
+                if s % (32 * pack) != 0:
+                    pack = 1
+                prep = pallas_conv.prepare_chunk(chunk, N, bm, s, pack=pack)
                 prep = jax.device_put(
                     jax.tree_util.tree_map(jnp.asarray, prep))
                 n_ovf = int(np.asarray((prep[3][0] >= 0).sum()))
                 ok = bool(np.asarray(prep[4]))
 
                 def kfn(feats, keys, xcol, chunk, w, k, _nx=nxs,
-                        _prep=prep, _bm=bm, _s=s, _u=uncond):
+                        _prep=prep, _bm=bm, _s=s, _u=uncond, _p=pack):
                     def body(i, s_):
                         eps = (s_ * 1e-38).astype(jnp.int32)
                         f = feats + eps.astype(feats.dtype)
                         out = pallas_conv.gather_conv_chunked_fast(
                             f, keys, xcol, _nx, chunk, w, prep=_prep,
-                            force_kernel=True, bm=_bm, s=_s, uncond=_u)
+                            force_kernel=True, bm=_bm, s=_s, uncond=_u,
+                            pack=_p)
                         return out.astype(jnp.float32).sum()
                     return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
@@ -167,7 +180,8 @@ def main():
                     log(f"kernel failed stage{si+1} {dname} "
                         f"bm{bm}/s{s}: {e}")
                     tk = float("nan")
-                tag = f"bm{bm}_s{s}" + ("_u" if uncond else "")
+                tag = f"bm{bm}_s{s}" + ("_u" if uncond else "") \
+                    + (f"_p{pack}" if pack > 1 else "")
                 entry[f"onehot_{tag}_ms"] = round(tk * 1e3, 3)
                 log(f"stage{si+1} {dname}: N={N} C={C} {tag} "
                     f"onehot {tk*1e3:.3f} ms (ovf {n_ovf} ok={ok}) "
